@@ -1,0 +1,129 @@
+"""CLI driver: run TPU-HC (and optionally the CPU-HC cross-check) over RANSAC
+rounds and write the reference-format output files.
+
+Equivalent of cmd/magmaHC-main.cpp: `-p/--problem` selects the problem folder,
+each round runs NUM_OF_RANSAC_ITERATIONS hypotheses, and the driver reports
+avg/max/min/sigma wall-clock plus solution statistics
+(cmd/magmaHC-main.cpp:24-116,124-195).
+
+Usage:
+  python -m trifocal_pose_estimation_using_improved_gpuhc_tpu.cli \
+      -p trifocal_2op1p_30x30 [--views 1] [--hypotheses 100] [--times 1] \
+      [--platform tpu|cpu] [--cross-check]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-p", "--problem", default="trifocal_2op1p_30x30")
+    ap.add_argument("--views", type=int, default=1, help="number of dataset views")
+    ap.add_argument("--start-view", type=int, default=0)
+    ap.add_argument("--hypotheses", type=int, default=None,
+                    help="RANSAC iterations per round (default: config, 100)")
+    ap.add_argument("--times", type=int, default=1,
+                    help="TEST_RANSAC_TIMES: repeat rounds for timing stats")
+    ap.add_argument("--platform", default=None, choices=[None, "tpu", "cpu"],
+                    help="force a JAX platform (default: environment)")
+    ap.add_argument("--cross-check", action="store_true",
+                    help="also run the CPU-HC oracle and compare statistics")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--output-dir", default="Output_Write_Files")
+    args = ap.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.engine import (
+        TrifocalPoseEngine,
+    )
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import evaluation as evl
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+        EngineConfig,
+        ProblemConfig,
+    )
+
+    cfg = EngineConfig(problem=ProblemConfig(name=args.problem))
+    if args.data_root:
+        cfg = dataclasses.replace(cfg, data_root=args.data_root)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    engine = TrifocalPoseEngine(cfg)
+    print(f"[tpu-hc] problem: {args.problem}, "
+          f"{engine.problem.num_tracks} tracks x "
+          f"{args.hypotheses or cfg.ransac.num_iterations} hypotheses")
+
+    timings, all_stats, found_count, err_lines = [], [], 0, []
+    view0 = engine.load_view(args.start_view)
+    engine.run_round(view0, seed=0, num_hypotheses=args.hypotheses)  # compile
+
+    for vi in range(args.start_view, args.start_view + args.views):
+        view = engine.load_view(vi)
+        for ti in range(args.times):
+            rr = engine.run_round(view, seed=ti, num_hypotheses=args.hypotheses)
+            timings.append(rr.track_ms)
+            all_stats.append(rr.stats)
+            if rr.found_pose:
+                found_count += 1
+            pe = rr.pose_errors
+            status = "FOUND" if rr.found_pose else "no-pass"
+            line = (
+                f"view {vi:03d} round {ti}: track {rr.track_ms:8.2f} ms, "
+                f"conv {rr.stats.num_converged}, cand {rr.num_candidates}, "
+                f"support {rr.best_support21}/{rr.best_support31} of {rr.num_edgels} "
+                f"[{status}]"
+            )
+            if pe is not None:
+                line += (
+                    f" rot ({pe.rot21:.4f}, {pe.rot31:.4f})"
+                    f" transl ({pe.transl21:.4f}, {pe.transl31:.4f})"
+                )
+                err_lines.append(pe)
+            print(line)
+
+    ts = evl.timing_summary(timings)
+    n_rounds = len(timings)
+    print(f"\n## {n_rounds} round(s) of RANSAC (path tracking wall-clock):")
+    print(f" - [Average Computation Time] {ts['avg_ms']:9.2f} (ms)")
+    print(f" - [Maximal Computation Time] {ts['max_ms']:9.2f} (ms)")
+    print(f" - [Minimal Computation Time] {ts['min_ms']:9.2f} (ms)")
+    print(f" - [Std dev Computation Time] {ts['std_ms']:9.2f} (ms)")
+    print(f" - Poses with >=90% inlier support: {found_count}/{n_rounds}")
+    if err_lines:
+        ok = sum(1 for p in err_lines if p.within(cfg.ransac))
+        print(f" - Best poses within GT tolerance (rot/transl < 0.1): {ok}/{len(err_lines)}")
+
+    evl.write_timings(os.path.join(args.output_dir, "GPU_Timings.txt"), timings)
+    evl.write_sols_statistics(
+        os.path.join(args.output_dir, "GPU_Sols_Statistics.txt"), all_stats
+    )
+
+    if args.cross_check:
+        import jax
+
+        print("\n[cross-check] re-running round 0 on the CPU backend ...")
+        with jax.default_device(jax.devices("cpu")[0]):
+            cpu_engine = TrifocalPoseEngine(cfg)
+            rr = cpu_engine.run_round(
+                view0, seed=0, num_hypotheses=min(args.hypotheses or 8, 8)
+            )
+        print(
+            f"cpu-hc: conv {rr.stats.num_converged}, cand {rr.num_candidates}, "
+            f"support {rr.best_support21}/{rr.best_support31} of {rr.num_edgels}"
+        )
+        evl.write_sols_statistics(
+            os.path.join(args.output_dir, "CPU_Sols_Statistics.txt"), [rr.stats]
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,163 @@
+"""End-to-end trifocal pose estimation engine: RANSAC over HC path tracking.
+
+Orchestrator equivalent of the reference GPU_HC_Solver lifecycle
+(GPU_HC_Solver.hpp:103-113: Allocate / Read_Problem_Data / Read_RANSAC_Data /
+Prepare_Target_Params / Data_Transfer / Solve) plus the evaluation tail of
+cmd/magmaHC-main.cpp:24-116 -- re-designed around jitted JAX programs instead
+of explicit allocation/transfer phases: arrays are built host-side as f32
+planes, one compiled program tracks all tracks x hypotheses paths, and a
+second scores candidate poses against all edgels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.models import trifocal
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import ransac, tracker
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import data_io
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import evaluation as evl
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+    EngineConfig,
+    ransac_data_dir,
+)
+
+# Fixed padding caps so jit programs are compiled once across rounds/views.
+_CANDIDATE_CAP = 512
+_EDGEL_PAD = 1024
+
+
+def _pad_to(a: np.ndarray, n: int, fill: float = 0.0) -> np.ndarray:
+    if a.shape[0] >= n:
+        return a[:n]
+    pad = np.full((n - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+@dataclasses.dataclass
+class RoundResult:
+    """One RANSAC round on one view triplet."""
+
+    stats: evl.SolutionStats
+    track_ms: float          # path-tracking wall clock (the reference's timed span)
+    total_ms: float          # tracking + candidate scoring + selection
+    num_candidates: int
+    best_support21: int
+    best_support31: int
+    num_edgels: int
+    found_pose: bool          # >= 0.9 support on both pairs (TrunRANSAC criterion)
+    pose_errors: Optional[evl.PoseErrors]
+    best_pose: Optional[tuple]  # (R21, R31, t21, t31) numpy
+    num_steps: np.ndarray     # per-path HC step counts
+
+
+class TrifocalPoseEngine:
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.problem = trifocal.TrifocalProblem.load(cfg)
+        self.track = tracker.make_track_fn(self.problem, cfg.hc)
+        self._pose_fn = jax.jit(
+            lambda xr: trifocal.solution_to_pose(xr.astype(jnp.float32))
+        )
+        self._score_fn = jax.jit(
+            lambda r21, r31, t21, t31, edgels, k: ransac.count_inlier_support(
+                r21, r31, t21, t31, edgels, k,
+                thresh_px=cfg.ransac.reproj_inlier_thresh_px,
+            )
+        )
+        self._intrinsics = data_io.load_intrinsic_matrix(ransac_data_dir(cfg))
+
+    # -- data ---------------------------------------------------------------
+    def load_view(self, view_index: int) -> data_io.RansacView:
+        return data_io.load_ransac_view(ransac_data_dir(self.cfg), view_index)
+
+    # -- one RANSAC round ---------------------------------------------------
+    def run_round(
+        self,
+        view: data_io.RansacView,
+        seed: int,
+        num_hypotheses: Optional[int] = None,
+        collect_solutions: bool = False,
+    ) -> RoundResult:
+        cfg = self.cfg
+        H = num_hypotheses or cfg.ransac.num_iterations
+        T = self.problem.num_tracks
+        n_edgels = view.edge_locations.shape[0]
+
+        samples = ransac.sample_edgel_triplets(seed, n_edgels, H)
+        tgt = ransac.build_target_params(
+            view.edge_locations, view.edge_tangents, samples
+        )
+        tgt_b = np.repeat(tgt, T, axis=0)
+        diff_b = tgt_b - self.problem.start_params
+        x0 = np.tile(np.asarray(self.problem.start_sols), (H, 1))
+
+        t_start = time.perf_counter()
+        res = self.track(x0, tgt_b, diff_b)
+        t_track = time.perf_counter()
+
+        stats = evl.collect_stats(res.x, res.converged, res.inf_fail, cfg.ransac)
+
+        # Candidate gate (Evaluations.cpp:330-343): converged, rotation
+        # components real within IMAG_PART_TOL, all depths non-negative.
+        cand = (
+            res.converged
+            & (np.abs(res.x[:, 24:30].imag) < cfg.ransac.imag_part_tol).all(axis=1)
+            & (res.x[:, 0:8].real >= 0).all(axis=1)
+        )
+        cand_idx = np.nonzero(cand)[0]
+        n_cand = int(cand_idx.size)
+
+        best21 = best31 = 0
+        found = False
+        pose_errors = None
+        best_pose = None
+        if n_cand:
+            xs = _pad_to(res.x[cand_idx].real.astype(np.float32), _CANDIDATE_CAP)
+            r21, r31, t21, t31 = map(np.asarray, self._pose_fn(xs))
+            edgels = _pad_to(
+                view.edge_locations, _EDGEL_PAD * -(-n_edgels // _EDGEL_PAD), 1e3
+            )
+            n21, n31 = self._score_fn(
+                r21, r31, t21, t31, edgels, self._intrinsics
+            )
+            n21 = np.asarray(n21)[: min(n_cand, _CANDIDATE_CAP)]
+            n31 = np.asarray(n31)[: min(n_cand, _CANDIDATE_CAP)]
+            # Maximal joint support selection (intent of Evaluations.cpp:382-504).
+            bi = int(np.argmax(np.minimum(n21, n31)))
+            best21, best31 = int(n21[bi]), int(n31[bi])
+            ratio = cfg.ransac.pass_inlier_support_ratio
+            found = best21 >= ratio * n_edgels and best31 >= ratio * n_edgels
+            best_pose = (r21[bi], r31[bi], t21[bi], t31[bi])
+            pose_errors = evl.measure_pose_error(
+                r21[bi], r31[bi], t21[bi], t31[bi], view.gt_pose21, view.gt_pose31
+            )
+        t_end = time.perf_counter()
+
+        rr = RoundResult(
+            stats=stats,
+            track_ms=(t_track - t_start) * 1e3,
+            total_ms=(t_end - t_start) * 1e3,
+            num_candidates=n_cand,
+            best_support21=best21,
+            best_support31=best31,
+            num_edgels=n_edgels,
+            found_pose=found,
+            pose_errors=pose_errors,
+            best_pose=best_pose,
+            num_steps=res.num_steps,
+        )
+        if collect_solutions:
+            rr.solutions = res  # type: ignore[attr-defined]
+        return rr
+
+    def warmup(self, num_hypotheses: Optional[int] = None) -> None:
+        """Compile the tracking/scoring programs on a tiny synthetic round."""
+        view = self.load_view(0)
+        self.run_round(view, seed=0, num_hypotheses=num_hypotheses)

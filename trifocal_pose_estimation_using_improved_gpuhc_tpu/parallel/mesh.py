@@ -1,0 +1,111 @@
+"""Hypothesis-axis data parallelism over a TPU device mesh.
+
+The reference shards RANSAC iterations statically across <= 8 GPUs with zero
+inter-GPU communication and host-side result stacking
+(GPU_HC_Solver.cpp:84-88, 494-506). The TPU-native equivalent: a 1-D
+``jax.sharding.Mesh`` over a "hyp" axis and ``shard_map`` of the whole
+path-tracking program -- each device owns a contiguous block of hypotheses
+(all 312 paths of a hypothesis stay on one device, the 30-var system is never
+split), runs its own masked while_loop, and *exits independently* when its
+local paths finish, like reference GPU blocks retiring early. Results come
+back as one sharded array; collectives are only used by the early-abort
+extension (all_reduce(max) of the found flag between scan segments -- stronger
+than the reference, whose abort flag never crosses GPUs, SURVEY.md section 5).
+
+Multi-host: the same mesh spans hosts via jax.distributed; hypothesis blocks
+ride ICI within a slice and need no DCN traffic at all during tracking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.models.trifocal import (
+    TrifocalProblem,
+)
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import linalg, tracker
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import HCConfig
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "hyp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def make_sharded_track_fn(
+    problem: TrifocalProblem,
+    cfg: HCConfig,
+    mesh: Mesh,
+    axis: str = "hyp",
+    solve=linalg.solve_batched,
+):
+    """Build the multi-chip tracking function.
+
+    Returned fn(x0 (B, V) c64-as-host-numpy, target_params (B, P+1),
+    diff_params (B, P+1)) -> TrackResult, with B = hypotheses x tracks and
+    the batch dim sharded over the mesh axis. B must divide evenly by the
+    mesh size (pad hypotheses to a multiple of the device count).
+    """
+    step_fn = tracker.make_step_fn(problem, cfg, solve)
+
+    def _local_track(x0_re, x0_im, tgt_re, tgt_im, diff_re, diff_im):
+        # Runs per device on its hypothesis block; local early exit.
+        x0 = jax.lax.complex(x0_re, x0_im)
+        tgt = jax.lax.complex(tgt_re, tgt_im)
+        diff = jax.lax.complex(diff_re, diff_im)
+        s0 = tracker.init_state(x0, cfg)
+
+        def cond(s):
+            return (s.step <= cfg.max_steps) & jnp.any(tracker._active(s, cfg))
+
+        def body(s):
+            return step_fn(s, tgt, diff)
+
+        s = jax.lax.while_loop(cond, body, s0)
+        return (
+            jnp.real(s.x),
+            jnp.imag(s.x),
+            tracker._is_converged(s.t, cfg),
+            s.inf_fail,
+            s.pruned,
+            s.num_steps,
+        )
+
+    spec = P(axis)
+    sharded = jax.shard_map(
+        _local_track,
+        mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=(spec,) * 6,
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def track(x0, target_params, diff_params) -> tracker.TrackResult:
+        x0 = np.asarray(x0)
+        tgt = np.asarray(target_params)
+        diff = np.asarray(diff_params)
+        f32 = np.float32
+        xr, xi, conv, inf, pruned, steps = jitted(
+            x0.real.astype(f32), x0.imag.astype(f32),
+            tgt.real.astype(f32), tgt.imag.astype(f32),
+            diff.real.astype(f32), diff.imag.astype(f32),
+        )
+        x = np.asarray(xr) + 1j * np.asarray(xi)
+        return tracker.TrackResult(
+            x=x.astype(np.complex64),
+            converged=np.asarray(conv),
+            inf_fail=np.asarray(inf),
+            pruned=np.asarray(pruned),
+            num_steps=np.asarray(steps),
+        )
+
+    track.jitted = jitted
+    return track

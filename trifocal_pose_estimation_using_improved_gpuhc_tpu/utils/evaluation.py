@@ -1,0 +1,202 @@
+"""Host-side evaluation: solution statistics, uniqueness, pose residuals, and
+the reference-format output writers.
+
+Equivalent of the reference Evaluations class (magmaHC/Evaluations.cpp) and
+the stats blocks of the CLI driver (cmd/magmaHC-main.cpp:71-116). Latent bugs
+of the reference are implemented by *intent*, not replicated: the
+converged/inf/real column swap at collection time (GPU_HC_Solver.cpp:522-524),
+the double-offset converged-flag indexing in
+Transform_GPUHC_Sols_to_Trifocal_Relative_Pose (Evaluations.cpp:317), and the
+never-cleared max-support index vector whose element [0] is always the first
+candidate (Evaluations.cpp:457-504).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import RansacConfig
+
+
+@dataclasses.dataclass
+class SolutionStats:
+    """Per-round solution statistics (Evaluations.cpp:145-182)."""
+
+    num_converged: int
+    num_infinity: int
+    num_real: int
+    num_paths: int
+
+    @property
+    def pct_converged(self) -> float:
+        return self.num_converged / max(self.num_paths, 1)
+
+
+def collect_stats(
+    x: np.ndarray,
+    converged: np.ndarray,
+    inf_fail: np.ndarray,
+    ransac: RansacConfig,
+) -> SolutionStats:
+    """Count converged / infinity / real solutions over the whole batch.
+
+    A solution is 'real' when converged and every variable's imaginary part
+    is within ZERO_IMAG_PART_TOL_FOR_SP (Evaluations.cpp:152-166).
+    """
+    real = converged & (np.abs(x.imag) <= ransac.zero_imag_part_tol).all(axis=-1)
+    return SolutionStats(
+        num_converged=int(converged.sum()),
+        num_infinity=int(inf_fail.sum()),
+        num_real=int(real.sum()),
+        num_paths=int(x.shape[0]),
+    )
+
+
+def find_unique_solutions(
+    x: np.ndarray, converged: np.ndarray, tol: float = 1e-4
+) -> np.ndarray:
+    """Indices of unique converged solutions (Evaluations.cpp:184-233).
+
+    Two solutions are duplicates when every variable agrees within tol in
+    both real and imaginary parts.
+    """
+    idx = np.nonzero(converged)[0]
+    if idx.size == 0:
+        return idx
+    xs = x[idx]
+    keep = []
+    taken = np.zeros(len(idx), dtype=bool)
+    for i in range(len(idx)):
+        if taken[i]:
+            continue
+        keep.append(idx[i])
+        d = np.abs(xs.real - xs.real[i]) < tol
+        d &= np.abs(xs.imag - xs.imag[i]) < tol
+        taken |= d.all(axis=-1)
+    return np.asarray(keep)
+
+
+def rotation_residual(r_gt: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """acos((trace(R_gt^T R) - 1) / 2), broadcast over leading dims
+    (Evaluations.cpp:360-374)."""
+    tr = np.einsum("ij,...ij->...", r_gt, r)
+    return np.arccos(np.clip(0.5 * (tr - 1.0), -1.0, 1.0))
+
+
+def translation_residual(t_gt_unit: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """|<t_gt, t/|t|> - 1| (Evaluations.cpp:376-380); both unit-normalised."""
+    tn = t / np.linalg.norm(t, axis=-1, keepdims=True)
+    return np.abs(tn @ t_gt_unit - 1.0)
+
+
+def decompose_gt_pose(pose: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(3, 4) [R | t] -> (R, unit t) (Evaluations.hpp:114-115 + normalise)."""
+    r = pose[:, :3]
+    t = pose[:, 3]
+    return r, t / np.linalg.norm(t)
+
+
+@dataclasses.dataclass
+class PoseErrors:
+    rot21: float
+    rot31: float
+    transl21: float
+    transl31: float
+
+    def within(self, ransac: RansacConfig) -> bool:
+        return (
+            self.rot21 < ransac.rot_residual_tol
+            and self.rot31 < ransac.rot_residual_tol
+            and self.transl21 < ransac.transl_residual_tol
+            and self.transl31 < ransac.transl_residual_tol
+        )
+
+
+def measure_pose_error(
+    r21: np.ndarray,
+    r31: np.ndarray,
+    t21: np.ndarray,
+    t31: np.ndarray,
+    gt_pose21: np.ndarray,
+    gt_pose31: np.ndarray,
+) -> PoseErrors:
+    """Residuals of one estimated trifocal pose vs GT (Evaluations.cpp:526-549)."""
+    gr21, gt21 = decompose_gt_pose(gt_pose21)
+    gr31, gt31 = decompose_gt_pose(gt_pose31)
+    return PoseErrors(
+        rot21=float(rotation_residual(gr21, r21)),
+        rot31=float(rotation_residual(gr31, r31)),
+        transl21=float(translation_residual(gt21, t21)),
+        transl31=float(translation_residual(gt31, t31)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Output writers (reference D6 formats).
+# ---------------------------------------------------------------------------
+
+
+def write_timings(path: str, timings_ms: Sequence[float]) -> None:
+    """GPU_Timings.txt format: one wall-clock ms per round per line
+    (cmd/magmaHC-main.cpp:98-105)."""
+    with open(path, "w") as f:
+        for t in timings_ms:
+            f.write(f"{t}\n")
+
+
+def write_sols_statistics(path: str, stats: Sequence[SolutionStats]) -> None:
+    """*_Sols_Statistics.txt: 'converged  infinity  real' per round.
+
+    Intent order (the reference swaps columns 2-3 at collection time,
+    GPU_HC_Solver.cpp:522-524 -- not replicated).
+    """
+    with open(path, "w") as f:
+        for s in stats:
+            f.write(f"{s.num_converged}\t{s.num_infinity}\t{s.num_real}\n")
+
+
+def write_converged_sols(
+    path: str,
+    x: np.ndarray,
+    converged: np.ndarray,
+    num_tracks: int,
+) -> None:
+    """*_Converged_HC_tracks.txt format (Evaluations.cpp:120-143)."""
+    num_vars = x.shape[1]
+    n_ransac = x.shape[0] // num_tracks
+    counter = 0
+    with open(path, "w") as f:
+        for ri in range(n_ransac):
+            f.write(f"-------------------- RANSAC Iteration {ri + 1} --------------------\n\n")
+            for bs in range(num_tracks):
+                i = ri * num_tracks + bs
+                if converged[i]:
+                    f.write(f"{counter}\n")
+                    for v in range(num_vars):
+                        f.write(f"{x[i, v].real:.20g}\t{x[i, v].imag:.20g}\n")
+                    f.write("\n")
+                counter += 1
+            f.write("\n")
+
+
+def write_hc_steps(path: str, steps: Sequence[int]) -> None:
+    """*HC_Steps_of_Actual_Solutions.txt: HC step counts of the solutions that
+    matched GT (Evaluations.cpp:506-521)."""
+    with open(path, "w") as f:
+        for s in steps:
+            f.write(f"{int(s)}\n")
+
+
+def timing_summary(timings_ms: Sequence[float]) -> dict:
+    """avg/max/min/sigma like the reference driver (cmd/magmaHC-main.cpp:77-95)."""
+    a = np.asarray(timings_ms, dtype=np.float64)
+    return {
+        "avg_ms": float(a.mean()),
+        "max_ms": float(a.max()),
+        "min_ms": float(a.min()),
+        "std_ms": float(a.std()),
+    }
