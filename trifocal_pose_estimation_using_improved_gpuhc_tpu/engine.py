@@ -61,7 +61,18 @@ class TrifocalPoseEngine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
         self.problem = trifocal.TrifocalProblem.load(cfg)
-        self.track = tracker.make_track_fn(self.problem, cfg.hc)
+        if cfg.hc.backend == "fused":
+            from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
+                fused,
+            )
+
+            # Pallas TPU kernels run interpreted on the CPU backend (tests).
+            interp = jax.default_backend() == "cpu"
+            self.track = fused.make_track_fn(
+                self.problem, cfg.hc, tile=cfg.hc.tile, interpret=interp
+            )
+        else:
+            self.track = tracker.make_track_fn(self.problem, cfg.hc)
         self._pose_fn = jax.jit(
             lambda xr: trifocal.solution_to_pose(xr.astype(jnp.float32))
         )
@@ -98,9 +109,34 @@ class TrifocalPoseEngine:
         diff_b = tgt_b - self.problem.start_params
         x0 = np.tile(np.asarray(self.problem.start_sols), (H, 1))
 
+        # Host sampling + H2D staging are outside the timed span, matching
+        # the reference: Prepare_Target_Params and the data transfer are
+        # separate phases and magma_wtime only brackets kernel launch+sync
+        # (GPU_HC_Solver.cpp:335-362, :384-446).
+        f32 = np.float32
+        dev = [
+            jax.device_put(a)
+            for a in (
+                x0.real.astype(f32), x0.imag.astype(f32),
+                tgt_b.real.astype(f32), tgt_b.imag.astype(f32),
+                diff_b.real.astype(f32), diff_b.imag.astype(f32),
+            )
+        ]
+        jax.block_until_ready(dev)
+
         t_start = time.perf_counter()
-        res = self.track(x0, tgt_b, diff_b)
+        out = self.track.jitted(*dev)
+        jax.block_until_ready(out)
         t_track = time.perf_counter()
+
+        xr, xi, conv, inf, pruned, steps = out
+        res = tracker.TrackResult(
+            x=(np.asarray(xr) + 1j * np.asarray(xi)).astype(np.complex64),
+            converged=np.asarray(conv),
+            inf_fail=np.asarray(inf),
+            pruned=np.asarray(pruned),
+            num_steps=np.asarray(steps),
+        )
 
         stats = evl.collect_stats(res.x, res.converged, res.inf_fail, cfg.ransac)
 

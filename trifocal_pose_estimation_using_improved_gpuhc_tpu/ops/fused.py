@@ -1,0 +1,738 @@
+"""Fused Pallas TPU path-tracking kernel: the production HC hot loop.
+
+TPU-native equivalent of the reference's fused CUDA kernel
+(gpu-kernels/kernel_GPUHC_trifocal_2op1p_30x30_PH_CodeOpt_TrunPaths.cu:66-290),
+re-designed for the TPU's execution model rather than translated:
+
+* The reference maps one warp of 30 threads to one path; here one Pallas
+  grid tile owns a *lane vector* of ``tile`` paths, every array is stored
+  batch-last (rows x lanes) so each row operation is a full-width VPU op,
+  and the whole RK4 + Newton + adaptive-dt loop runs inside one kernel so
+  all state stays VMEM-resident (the reference's shared-memory residency,
+  ...TrunPaths.cu:84-124).  A tile whose paths are all converged / pruned /
+  diverged skips the remaining iterations -- the TPU analogue of retired
+  CUDA blocks freeing their SM.
+
+* Indexed polynomial evaluation (gpu-idx-evals/...LimUnroll_L2Cache.cuh)
+  becomes a chain of small constant one-hot / coefficient matmuls on the
+  MXU.  The parameter-homotopy pair products are hoisted out of the loop
+  entirely: p(t) = start + t*diff is affine in t, so every parameter-pair
+  product P_q(t) = A_q t^2 + B_q t + C_q with per-path constants A, B, C
+  computed once per round -- inside the loop a pair product costs two
+  fused multiply-adds (the TPU-native sharpening of strategy (PH),
+  README.md:5).
+
+* The 30x30 complex solve (dev-cgesv-batched-small.cuh:38-107) uses the
+  static elimination schedule of ops/schedule.py: the Jacobian has a fixed
+  170-of-900 sparsity pattern, so partial pivoting only ever searches the
+  structurally-nonzero candidate rows of each column, cutting ~6x of the
+  dense elimination flops.  The pivot metric |Re|+|Im| matches the
+  reference (:55); variables are globally re-ordered by elimination
+  position so every step's active columns form an aligned contiguous tail
+  slice.
+
+Path truncation (TrunPaths), end-zone clamping, corrector tolerances and
+the adaptive-dt policy mirror ops/tracker.py (the tested oracle) line for
+line; see its docstring for the reference citations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.models.trifocal import (
+    TrifocalProblem,
+)
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import schedule as sched
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops.tracker import TrackResult
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import HCConfig
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), precision=_HIGH,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+# ---------------------------------------------------------------------------
+# Compile-time constants derived from the problem + solve schedule.
+# ---------------------------------------------------------------------------
+
+
+def _onehot(idx: np.ndarray, n: int) -> np.ndarray:
+    m = np.zeros((len(idx), n), np.float32)
+    m[np.arange(len(idx)), idx] = 1.0
+    return m
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedConstants:
+    """All numpy constants consumed by the kernel (see build())."""
+
+    perm: np.ndarray          # (30,) position -> original var
+    pos_of_var: np.ndarray    # (30,) original var -> position
+    ohx2: np.ndarray          # (2*M2, 31) quad-monomial factor gathers
+    ohx3: np.ndarray          # (3*M3, 31) cubic-monomial factor gathers
+    ohx2g: np.ndarray         # (K2, M2) combo <- monomial gather
+    ohx3g: np.ndarray         # (K3, M3)
+    ohq2: np.ndarray          # (K2, Q) combo <- pair gather
+    ohq3: np.ndarray          # (K3, Q)
+    chx: np.ndarray           # (NNZ, K2) combo -> Hx nonzero weights
+    cht: np.ndarray           # (E, K3)  combo -> H/Ht weights
+    row_order: np.ndarray     # (30,) row position -> original equation
+    row_runs_v: Tuple[Tuple, ...]  # per-row-position value runs (src_lo, src_hi, dst_col)
+    steps: Tuple[Tuple, ...]  # (pos, row runs ((lo,hi),...), col_lo)
+    depth_rows: Tuple[int, ...]    # permuted positions of depth vars 0..7
+    m2: int
+    m3: int
+    k2: int
+    k3: int
+    q: int
+    nnz: int
+
+    @classmethod
+    def build(cls, problem: TrifocalProblem) -> "FusedConstants":
+        f = problem.factored
+        n = problem.num_vars
+        nnz_total = f.hx_C.shape[1]
+        pattern = f.hx_scatter.reshape(n, n) != nnz_total
+        s = sched.build_schedule(pattern)
+
+        perm = np.array([st.col for st in s.steps], np.int32)
+        pos_of_var = np.argsort(perm).astype(np.int32)
+
+        def pvar(v):  # permute a var index, keeping the homogeneous slot
+            return int(pos_of_var[v]) if v < n else v
+
+        pv = np.vectorize(pvar)
+        ohx2 = np.concatenate(
+            [_onehot(pv(f.qm_a), n + 1), _onehot(pv(f.qm_b), n + 1)]
+        )
+        ohx3 = np.concatenate(
+            [
+                _onehot(pv(f.cm_a), n + 1),
+                _onehot(pv(f.cm_b), n + 1),
+                _onehot(pv(f.cm_c), n + 1),
+            ]
+        )
+        ohx2g = _onehot(f.hx_m, len(f.qm_a))
+        ohx3g = _onehot(f.ht_m, len(f.cm_a))
+        ohq2 = _onehot(f.hx_q, len(f.pp_a))
+        ohq3 = _onehot(f.ht_q, len(f.pp_a))
+
+        # Row (equation) permutation making every step's candidate set one
+        # contiguous slice of rows (verified single-run for this problem).
+        row_order = sched.find_interval_row_order(s)
+        pos_of_row = np.argsort(row_order).astype(np.int32)
+
+        # Canonical Hx nonzero order: sorted by (row position, permuted
+        # column) so each row's values form contiguous source slices.
+        entries = []  # (row position, permuted col, slot)
+        for flat, slot in enumerate(f.hx_scatter):
+            if slot == nnz_total:
+                continue
+            eq, var = divmod(flat, n)
+            entries.append(
+                (int(pos_of_row[eq]), int(pos_of_var[var]), int(slot))
+            )
+        entries.sort()
+        order = np.array([e[2] for e in entries], np.int32)
+        chx = f.hx_C.T[order].astype(np.float32)  # (NNZ, K2) reordered
+        cht = f.ht_C.T[row_order].astype(np.float32)  # rows permuted
+
+        # Row assembly program: per row position, the maximal contiguous
+        # value runs (src_lo, src_hi, dst_col); zeros and the rhs column are
+        # bulk-initialised, so only true nonzeros are written individually.
+        row_runs_v: List[Tuple] = []
+        base = 0
+        for rp in range(n):
+            cols = [c for (e, c, _) in entries if e == rp]
+            runs: List[Tuple[int, int, int]] = []
+            i = 0
+            while i < len(cols):
+                j = i
+                while j + 1 < len(cols) and cols[j + 1] == cols[j] + 1:
+                    j += 1
+                runs.append((base + i, base + j + 1, cols[i]))
+                i = j + 1
+            base += len(cols)
+            row_runs_v.append(tuple(runs))
+        assert base == nnz_total
+
+        # Elimination steps: position s eliminates permuted column s;
+        # candidate rows become contiguous runs under row_order; the active
+        # column slice starts at the 8-aligned floor of s.
+        steps = tuple(
+            (
+                si,
+                sched.row_runs(st.rows, pos_of_row),
+                (si // 8) * 8,
+            )
+            for si, st in enumerate(s.steps)
+        )
+        depth_rows = tuple(int(pos_of_var[v]) for v in range(8))
+        return cls(
+            perm=perm,
+            pos_of_var=pos_of_var,
+            ohx2=ohx2,
+            ohx3=ohx3,
+            ohx2g=ohx2g,
+            ohx3g=ohx3g,
+            ohq2=ohq2,
+            ohq3=ohq3,
+            chx=chx,
+            cht=cht,
+            row_order=row_order,
+            row_runs_v=tuple(row_runs_v),
+            steps=steps,
+            depth_rows=depth_rows,
+            m2=len(f.qm_a),
+            m3=len(f.cm_a),
+            k2=len(f.hx_q),
+            k3=len(f.ht_q),
+            q=len(f.pp_a),
+            nnz=nnz_total,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Kernel body pieces (pure functions of values + scratch refs).
+# ---------------------------------------------------------------------------
+
+
+def _quad(a, b, cc, t):
+    """A*t^2 + B*t + C as two FMAs; t real (1, T), coeffs (K, T)."""
+    return (a * t + b) * t + cc
+
+
+def _eval_core(c: FusedConstants, consts, ag2, ag3, x_re, x_im, t,
+               need_h: bool, need_ht: bool):
+    """Evaluate Hx nonzeros and (optionally) H / -Ht at (x, t).
+
+    Semantics of gpu-idx-evals/...LimUnroll_L2Cache.cuh:57-148 in the
+    monomial-factored form (models/trifocal.py); all matmuls hit the MXU.
+    Returns (hx (NNZ,T) planes, h, mht); h/mht are (E,T) plane pairs.
+    """
+    (ohx2, ohx3, ohx2g, ohx3g, chx, cht) = consts
+    T = x_re.shape[1]
+    ones = jnp.ones((1, T), jnp.float32)
+    zeros = jnp.zeros((1, T), jnp.float32)
+    xp_re = jnp.concatenate([x_re, ones], axis=0)    # (31, T)
+    xp_im = jnp.concatenate([x_im, zeros], axis=0)
+
+    m2 = c.m2
+    fac_re = _dot(ohx2, xp_re)                        # (2*M2, T)
+    fac_im = _dot(ohx2, xp_im)
+    x2_re, x2_im = _cmul(
+        fac_re[:m2], fac_im[:m2], fac_re[m2:], fac_im[m2:]
+    )                                                 # (M2, T)
+    x2g_re = _dot(ohx2g, x2_re)                       # (K2, T)
+    x2g_im = _dot(ohx2g, x2_im)
+
+    pg_re = _quad(ag2[0], ag2[2], ag2[4], t)          # (K2, T)
+    pg_im = _quad(ag2[1], ag2[3], ag2[5], t)
+    px2_re, px2_im = _cmul(pg_re, pg_im, x2g_re, x2g_im)
+    hx = (_dot(chx, px2_re), _dot(chx, px2_im))       # (NNZ, T)
+
+    h = mht = None
+    if need_h or need_ht:
+        m3 = c.m3
+        f3_re = _dot(ohx3, xp_re)                     # (3*M3, T)
+        f3_im = _dot(ohx3, xp_im)
+        ab_re, ab_im = _cmul(
+            f3_re[:m3], f3_im[:m3], f3_re[m3:2 * m3], f3_im[m3:2 * m3]
+        )
+        x3_re, x3_im = _cmul(ab_re, ab_im, f3_re[2 * m3:], f3_im[2 * m3:])
+        x3g_re = _dot(ohx3g, x3_re)                   # (K3, T)
+        x3g_im = _dot(ohx3g, x3_im)
+        if need_h:
+            p3_re = _quad(ag3[0], ag3[2], ag3[4], t)
+            p3_im = _quad(ag3[1], ag3[3], ag3[5], t)
+            px3_re, px3_im = _cmul(p3_re, p3_im, x3g_re, x3g_im)
+            h = (_dot(cht, px3_re), _dot(cht, px3_im))
+        if need_ht:
+            # dP/dt = 2*A*t + B; negated so the RK solve yields dx/dt
+            # directly (...LimUnroll_L2Cache.cuh:109-118 accumulates -Ht).
+            dp_re = 2.0 * ag3[0] * t + ag3[2]
+            dp_im = 2.0 * ag3[1] * t + ag3[3]
+            dpx_re, dpx_im = _cmul(dp_re, dp_im, x3g_re, x3g_im)
+            mht = (-_dot(cht, dpx_re), -_dot(cht, dpx_im))
+    return hx, h, mht
+
+
+def _assemble(c: FusedConstants, m_re, m_im, hx, rhs, T: int):
+    """Write the augmented system into the m scratch ref.
+
+    Layout: rows = permuted equations, columns = [permuted vars | rhs |
+    pad].  Zeros + the rhs column are one bulk write; only the 170 true
+    nonzero runs are written individually (contiguous in both source and
+    destination by construction of the canonical nonzero order).
+    """
+    hx_re, hx_im = hx
+    rhs_re, rhs_im = rhs
+    n = rhs_re.shape[0]
+    z = jnp.zeros((n, n, T), jnp.float32)
+    z1 = jnp.zeros((n, 1, T), jnp.float32)
+    m_re[:] = jnp.concatenate([z, rhs_re[:, None, :], z1], axis=1)
+    m_im[:] = jnp.concatenate([z, rhs_im[:, None, :], z1], axis=1)
+    for rp, runs in enumerate(c.row_runs_v):
+        for (src_lo, src_hi, dst) in runs:
+            w = src_hi - src_lo
+            m_re[rp, dst:dst + w] = hx_re[src_lo:src_hi]
+            m_im[rp, dst:dst + w] = hx_im[src_lo:src_hi]
+
+
+def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int):
+    """Structured partial-pivoted elimination + back-substitution.
+
+    Batched (lanes = paths) version of schedule.solve_numpy; the pivot
+    metric and zero-pivot guard mirror dev-cgesv-batched-small.cuh:50-95.
+    Returns dx (30, T) complex planes in permuted variable order.
+    """
+    n = len(c.steps)
+    width = n + 2
+    used[:] = jnp.zeros((n, T), jnp.float32)
+    for s, runs, lo in c.steps:
+        nc = sum(hi - lo_r for lo_r, hi in runs)
+        if len(runs) == 1:
+            r0, r1 = runs[0]
+            Mre = m_re[r0:r1, lo:width]
+            Mim = m_im[r0:r1, lo:width]
+            ure = used[r0:r1]
+        else:
+            Mre = jnp.concatenate(
+                [m_re[a:b, lo:width] for a, b in runs], axis=0
+            )
+            Mim = jnp.concatenate(
+                [m_im[a:b, lo:width] for a, b in runs], axis=0
+            )
+            ure = jnp.concatenate([used[a:b] for a, b in runs], axis=0)
+        jcol = s - lo
+        cr = Mre[:, jcol, :]
+        ci = Mim[:, jcol, :]
+        metric = jnp.abs(cr) + jnp.abs(ci)
+        metric = jnp.where(ure > 0.5, -1.0, metric)
+        mx = jnp.max(metric, axis=0, keepdims=True)
+        hit = metric >= mx
+        rid = jax.lax.broadcasted_iota(jnp.int32, (nc, T), 0)
+        first = jnp.min(jnp.where(hit, rid, nc), axis=0, keepdims=True)
+        oh = (rid == first).astype(jnp.float32)          # (nc, T)
+        prow_re = jnp.sum(oh[:, None, :] * Mre, axis=0)  # (w, T)
+        prow_im = jnp.sum(oh[:, None, :] * Mim, axis=0)
+        sv_re[s, lo:width] = prow_re
+        sv_im[s, lo:width] = prow_im
+        pr = prow_re[jcol:jcol + 1]
+        pi = prow_im[jcol:jcol + 1]
+        den = pr * pr + pi * pi
+        den = jnp.where(den == 0.0, 1.0, den)
+        fr, fi = _cmul(cr, ci, pr / den, -pi / den)
+        nm = 1.0 - oh
+        fr = fr * nm
+        fi = fi * nm
+        new_re = Mre - (fr[:, None, :] * prow_re[None]
+                        - fi[:, None, :] * prow_im[None])
+        new_im = Mim - (fr[:, None, :] * prow_im[None]
+                        + fi[:, None, :] * prow_re[None])
+        new_used = ure + oh
+        off = 0
+        for a, b in runs:
+            w_r = b - a
+            m_re[a:b, lo:width] = new_re[off:off + w_r]
+            m_im[a:b, lo:width] = new_im[off:off + w_r]
+            used[a:b] = new_used[off:off + w_r]
+            off += w_r
+
+    # Back-substitution on the saved pivot rows, reverse schedule order.
+    xe_re = [jnp.zeros((1, T), jnp.float32) for _ in range(width)]
+    xe_im = [jnp.zeros((1, T), jnp.float32) for _ in range(width)]
+    xe_re[n] = -jnp.ones((1, T), jnp.float32)
+    for s in range(n - 1, -1, -1):
+        lo = c.steps[s][2]
+        prow_re = sv_re[s, lo:width]
+        prow_im = sv_im[s, lo:width]
+        tail_re = jnp.concatenate(xe_re[lo:], axis=0)   # (w, T)
+        tail_im = jnp.concatenate(xe_im[lo:], axis=0)
+        ar, ai = _cmul(prow_re, prow_im, tail_re, tail_im)
+        acc_re = jnp.sum(ar, axis=0, keepdims=True)
+        acc_im = jnp.sum(ai, axis=0, keepdims=True)
+        pr = prow_re[s - lo:s - lo + 1]
+        pi = prow_im[s - lo:s - lo + 1]
+        den = pr * pr + pi * pi
+        den = jnp.where(den == 0.0, 1.0, den)
+        xr, xi = _cmul(acc_re, acc_im, -pr / den, pi / den)
+        xe_re[s] = xr
+        xe_im[s] = xi
+    dx_re = jnp.concatenate(xe_re[:n], axis=0)
+    dx_im = jnp.concatenate(xe_im[:n], axis=0)
+    return dx_re, dx_im
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+
+# flags rows: t, dt, succ_count, end_zone, check_depths, inf_fail, pruned,
+# num_steps (all f32; bools are 0/1).
+_F_T, _F_DT, _F_SC, _F_EZ, _F_CK, _F_INF, _F_PRN, _F_NST = range(8)
+
+
+def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
+    n = len(c.steps)
+
+    def kernel(x0_re, x0_im, apr, api, bpr, bpi, cpr, cpi,
+               ohx2, ohx3, ohx2g, ohx3g, ohq2, ohq3, chx, cht,
+               xo_re, xo_im, flags,
+               xl_re, xl_im, m_re, m_im, sv_re, sv_im, used,
+               ag2, ag3, cont):
+        consts = (ohx2[:], ohx3[:], ohx2g[:], ohx3g[:], chx[:], cht[:])
+
+        # Hoisted pair-product quadratic coefficients, gathered to combos
+        # once per tile (the L2-persistent index-table analogue,
+        # GPU_HC_Solver.cpp:99-122 -- here they simply live in VMEM).
+        for i, src in enumerate((apr, api, bpr, bpi, cpr, cpi)):
+            ag2[i] = _dot(ohq2[:], src[:])
+            ag3[i] = _dot(ohq3[:], src[:])
+
+        xo_re[:] = x0_re[:]
+        xo_im[:] = x0_im[:]
+        xl_re[:] = x0_re[:]
+        xl_im[:] = x0_im[:]
+        zrow = jnp.zeros((1, T), jnp.float32)
+        flags[:] = jnp.concatenate(
+            [
+                zrow,
+                jnp.full((1, T), cfg.init_delta_t, jnp.float32),
+                zrow,
+                zrow,
+                jnp.full((1, T), 1.0 if cfg.truncate_paths else 0.0,
+                         jnp.float32),
+                zrow,
+                zrow,
+                zrow,
+            ],
+            axis=0,
+        )
+        cont[0] = 1
+
+        def one_step():
+            ag2v = [ag2[i] for i in range(6)]
+            ag3v = [ag3[i] for i in range(6)]
+
+            def es(x, tt, need_h, need_ht):
+                hx, h, mht = _eval_core(
+                    c, consts, ag2v, ag3v, x[0], x[1], tt, need_h, need_ht
+                )
+                rhs = h if need_h else mht
+                _assemble(c, m_re, m_im, hx, rhs, T)
+                return _solve(c, m_re, m_im, sv_re, sv_im, used, T)
+
+            x_re = xo_re[:]
+            x_im = xo_im[:]
+            t = flags[_F_T:_F_T + 1]
+            dt = flags[_F_DT:_F_DT + 1]
+            succ = flags[_F_SC:_F_SC + 1]
+            ez = flags[_F_EZ:_F_EZ + 1]
+            chk = flags[_F_CK:_F_CK + 1]
+            inf = flags[_F_INF:_F_INF + 1]
+            prn = flags[_F_PRN:_F_PRN + 1]
+            nst = flags[_F_NST:_F_NST + 1]
+
+            # All per-path predicates are carried as f32 0/1 masks: Mosaic
+            # cannot round-trip i1 vectors through selects (i8 trunc error),
+            # so boolean algebra becomes min/max/multiply arithmetic.
+            convf = jnp.maximum(
+                (t >= 1.0).astype(jnp.float32),
+                (1.0 - t <= cfg.t_converged_eps).astype(jnp.float32),
+            )
+            activef = (1.0 - convf) * (1.0 - inf) * (1.0 - prn)
+
+            ez = jnp.maximum(
+                ez,
+                (jnp.abs(1.0 - t) <= cfg.end_zone_factor).astype(jnp.float32),
+            )
+            if cfg.truncate_paths:
+                drows = jnp.concatenate(
+                    [xo_re[r:r + 1] for r in c.depth_rows], axis=0
+                )
+                depths_bad = (
+                    jnp.min(drows, axis=0, keepdims=True) <= 0.0
+                ).astype(jnp.float32)
+                watch = chk * (t > 0.0).astype(jnp.float32)
+                chk = watch * depths_bad + (1.0 - watch) * chk
+                prn = jnp.maximum(
+                    prn,
+                    activef * (t > 0.95).astype(jnp.float32) * chk,
+                )
+                activef = activef * (1.0 - prn)
+
+            dtc = jnp.where(
+                ez > 0.5,
+                jnp.minimum(dt, jnp.abs(1.0 - t)),
+                jnp.minimum(dt, jnp.abs(0.95 - t)),
+            )
+            half = 0.5 * dtc
+
+            # RK4 predictor (...TrunPaths.cu:170-211).
+            k1 = es((x_re, x_im), t, False, True)
+            xb = (x_re + half * k1[0], x_im + half * k1[1])
+            tb = t + half
+            k2 = es(xb, tb, False, True)
+            xc = (x_re + half * k2[0], x_im + half * k2[1])
+            k3 = es(xc, tb, False, True)
+            tc = tb + half
+            xd = (x_re + dtc * k3[0], x_im + dtc * k3[1])
+            k4 = es(xd, tc, False, True)
+            sixth = dtc / 6.0
+            cur_re = x_re + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
+            cur_im = x_im + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
+
+            # Newton corrector at frozen t_c (:216-250), unrolled + masked.
+            successf = jnp.zeros((1, T), jnp.float32)
+            inff = jnp.zeros((1, T), jnp.float32)
+            donef = jnp.zeros((1, T), jnp.float32)
+            for _ in range(cfg.max_correction_steps):
+                dx = es((cur_re, cur_im), tc, True, False)
+                live = 1.0 - donef
+                nr = cur_re - live * dx[0]
+                ni = cur_im - live * dx[1]
+                sq_dx = jnp.sum(dx[0] ** 2 + dx[1] ** 2, axis=0,
+                                keepdims=True)
+                sq_x = jnp.sum(nr ** 2 + ni ** 2, axis=0, keepdims=True)
+                succ_i = (sq_dx < cfg.corrector_tol_sq * sq_x).astype(
+                    jnp.float32
+                )
+                inf_i = (sq_x > cfg.infinity_norm_sq).astype(jnp.float32)
+                successf = donef * successf + live * succ_i
+                inff = donef * inff + live * inf_i
+                donef = jnp.maximum(donef, jnp.maximum(successf, inff))
+                cur_re, cur_im = nr, ni
+
+            # Outcome bookkeeping (:252-276), as in ops/tracker.py.
+            inf_hitf = activef * inff
+            okf = activef * (1.0 - inff)
+            failf = okf * (1.0 - successf)
+            goodf = okf * successf
+            takec = jnp.maximum(goodf, inf_hitf)
+
+            old_re = xo_re[:]
+            old_im = xo_im[:]
+            last_re = xl_re[:]
+            last_im = xl_im[:]
+            new_re = takec * cur_re + (1.0 - takec) * (
+                failf * last_re + (1.0 - failf) * old_re
+            )
+            new_im = takec * cur_im + (1.0 - takec) * (
+                failf * last_im + (1.0 - failf) * old_im
+            )
+            xo_re[:] = new_re
+            xo_im[:] = new_im
+            xl_re[:] = goodf * cur_re + (1.0 - goodf) * last_re
+            xl_im[:] = goodf * cur_im + (1.0 - goodf) * last_im
+
+            advancef = jnp.maximum(goodf, inf_hitf)
+            new_t = advancef * tc + (1.0 - advancef) * t
+            succ2 = goodf * (succ + 1.0) + (1.0 - goodf) * (1.0 - failf) * succ
+            bump = goodf * (
+                succ2 >= cfg.steps_to_increase_delta_t
+            ).astype(jnp.float32)
+            new_dt = (
+                failf * (dtc * 0.5)
+                + bump * (dtc * 2.0)
+                + (1.0 - failf) * (1.0 - bump) * dtc
+            )
+            new_dt = activef * new_dt + (1.0 - activef) * dt
+            succ2 = (1.0 - bump) * succ2
+            succ2 = activef * succ2 + (1.0 - activef) * succ
+            inf2 = jnp.maximum(inf, inf_hitf)
+            nst2 = nst + activef
+
+            flags[:] = jnp.concatenate(
+                [new_t, new_dt, succ2, ez, chk, inf2, prn, nst2], axis=0
+            )
+
+            # Tile early exit: stop when every lane is converged / failed.
+            conv2 = jnp.maximum(
+                (new_t >= 1.0).astype(jnp.float32),
+                (1.0 - new_t <= cfg.t_converged_eps).astype(jnp.float32),
+            )
+            active2 = (1.0 - conv2) * (1.0 - inf2) * (1.0 - prn)
+            cont[0] = jnp.max(active2).astype(jnp.int32)
+
+        def body(i, carry):
+            @pl.when(cont[0] == 1)
+            def _():
+                one_step()
+            return carry
+
+        jax.lax.fori_loop(0, cfg.max_steps + 1, body, 0)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host-facing factory.
+# ---------------------------------------------------------------------------
+
+
+def make_track_fn(
+    problem: TrifocalProblem,
+    cfg: HCConfig,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """Build the fused path-tracking function (ops/tracker.py-compatible).
+
+    Returned ``track(x0, target_params, diff_params) -> TrackResult`` plus
+    ``track.jitted`` taking/returning f32 planes, batch-first -- the same
+    contract as tracker.make_track_fn so the engine can swap backends.
+    """
+    c = FusedConstants.build(problem)
+    kernel = _make_kernel(c, cfg, tile)
+    n = problem.num_vars
+    width = n + 2
+    f = problem.factored
+    pp_a = np.asarray(f.pp_a)
+    pp_b = np.asarray(f.pp_b)
+    sp = np.asarray(problem.start_params)  # (P+1,) complex64
+    sa = sp[pp_a]
+    sb = sp[pp_b]
+    perm = np.asarray(c.perm)
+    q = c.q
+
+    grid_consts = [
+        c.ohx2, c.ohx3, c.ohx2g, c.ohx3g, c.ohq2, c.ohq3, c.chx, c.cht
+    ]
+
+    def _const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _tile_spec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def _track_planes(x0_re, x0_im, tgt_re, tgt_im, diff_re, diff_im):
+        B = x0_re.shape[0]
+        nt = -(-B // tile)
+        Bp = nt * tile
+
+        def padb(a):  # (B, K) -> (K, Bp), batch-last, pad by edge replication
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (Bp - B,) + a.shape[1:])], axis=0
+            ) if Bp != B else a
+            return a.T
+
+        # Per-path pair-product quadratic coefficients (see module doc).
+        da_re = padb(diff_re[:, pp_a])
+        da_im = padb(diff_im[:, pp_a])
+        db_re = padb(diff_re[:, pp_b])
+        db_im = padb(diff_im[:, pp_b])
+        sa_re = sa.real[:, None]
+        sa_im = sa.imag[:, None]
+        sb_re = sb.real[:, None]
+        sb_im = sb.imag[:, None]
+        # A = da*db; B = sa*db + sb*da; C = sa*sb  (complex).
+        apr, api = _cmul(da_re, da_im, db_re, db_im)
+        bpr = sa_re * db_re - sa_im * db_im + sb_re * da_re - sb_im * da_im
+        bpi = sa_re * db_im + sa_im * db_re + sb_re * da_im + sb_im * da_re
+        cpr = jnp.broadcast_to((sa * sb).real[:, None], (q, Bp)).astype(
+            jnp.float32
+        )
+        cpi = jnp.broadcast_to((sa * sb).imag[:, None], (q, Bp)).astype(
+            jnp.float32
+        )
+
+        x0p_re = padb(x0_re)[perm]   # permuted variable order, batch-last
+        x0p_im = padb(x0_im)[perm]
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Bp), jnp.float32),
+        )
+        scratch = [
+            pltpu.VMEM((n, tile), jnp.float32),        # xl_re
+            pltpu.VMEM((n, tile), jnp.float32),        # xl_im
+            pltpu.VMEM((n, width, tile), jnp.float32),  # m_re
+            pltpu.VMEM((n, width, tile), jnp.float32),  # m_im
+            pltpu.VMEM((n, width, tile), jnp.float32),  # sv_re
+            pltpu.VMEM((n, width, tile), jnp.float32),  # sv_im
+            pltpu.VMEM((n, tile), jnp.float32),        # used
+            pltpu.VMEM((6, c.k2, tile), jnp.float32),  # ag2
+            pltpu.VMEM((6, c.k3, tile), jnp.float32),  # ag3
+            pltpu.SMEM((1,), jnp.int32),               # cont
+        ]
+        in_specs = (
+            [_tile_spec(n)] * 2
+            + [_tile_spec(q)] * 6
+            + [_const_spec(a) for a in grid_consts]
+        )
+        out_specs = (_tile_spec(n), _tile_spec(n), _tile_spec(8))
+        xr, xi, fl = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            x0p_re, x0p_im, apr, api, bpr, bpi, cpr, cpi,
+            *[jnp.asarray(a) for a in grid_consts],
+        )
+        inv = np.argsort(perm)
+        xr = xr[inv][:, :B].T  # back to original var order, batch-first
+        xi = xi[inv][:, :B].T
+        fl = fl[:, :B]
+        t = fl[_F_T]
+        converged = (t >= 1.0) | (1.0 - t <= cfg.t_converged_eps)
+        return (
+            xr,
+            xi,
+            converged,
+            fl[_F_INF] > 0.5,
+            fl[_F_PRN] > 0.5,
+            fl[_F_NST].astype(jnp.int32),
+        )
+
+    def track(x0, target_params, diff_params) -> TrackResult:
+        x0 = np.asarray(x0)
+        tgt = np.asarray(target_params)
+        diff = np.asarray(diff_params)
+        f32 = np.float32
+        xr, xi, conv, inf, pruned, steps = _track_planes(
+            x0.real.astype(f32), x0.imag.astype(f32),
+            tgt.real.astype(f32), tgt.imag.astype(f32),
+            diff.real.astype(f32), diff.imag.astype(f32),
+        )
+        x = np.asarray(xr) + 1j * np.asarray(xi)
+        return TrackResult(
+            x=x.astype(np.complex64),
+            converged=np.asarray(conv),
+            inf_fail=np.asarray(inf),
+            pruned=np.asarray(pruned),
+            num_steps=np.asarray(steps),
+        )
+
+    track.jitted = _track_planes
+    track.constants = c
+    return track

@@ -51,6 +51,11 @@ class HCConfig:
     # Optimisation knobs beyond the reference (ablation ladder additions):
     compact_survivors: bool = True      # two-phase tracking with survivor compaction
     reuse_factorization_refine: int = 0  # 0 = exact solve every stage (reference parity)
+    # Tracker backend: "fused" = Pallas fused kernel (ops/fused.py, the
+    # production path), "xla" = plain-JAX masked while_loop (ops/tracker.py,
+    # the oracle / CPU-HC equivalent).
+    backend: str = "fused"
+    tile: int = 256                      # fused-kernel paths per grid tile
 
 
 @dataclasses.dataclass(frozen=True)
