@@ -69,6 +69,13 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
+def _cmul_w(a, b, T):
+    """Complex multiply on lane-wide [re|im] arrays: (K, 2T) x (K, 2T)."""
+    ar, ai = a[:, :T], a[:, T:]
+    br, bi = b[:, :T], b[:, T:]
+    return jnp.concatenate([ar * br - ai * bi, ar * bi + ai * br], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Compile-time constants derived from the problem + solve schedule.
 # ---------------------------------------------------------------------------
@@ -88,6 +95,8 @@ class FusedConstants:
     pos_of_var: np.ndarray    # (30,) original var -> position
     ohx2: np.ndarray          # (2*M2, 31) quad-monomial factor gathers
     ohx3: np.ndarray          # (3*M3, 31) cubic-monomial factor gathers
+    ohx23: np.ndarray         # merged [ohx2 (8-aligned pad); ohx3]
+    x3_off: int               # row offset of the x3 block inside ohx23
     ohx2g: np.ndarray         # (K2, M2) combo <- monomial gather
     ohx3g: np.ndarray         # (K3, M3)
     ohq2: np.ndarray          # (K2, Q) combo <- pair gather
@@ -123,6 +132,8 @@ class FusedConstants:
         ohx2 = np.concatenate(
             [_onehot(pv(f.qm_a), n + 1), _onehot(pv(f.qm_b), n + 1)]
         )
+        pad2 = (-len(ohx2)) % 8  # 8-align the x3 row offset in the merged matmul
+        ohx2p = np.concatenate([ohx2, np.zeros((pad2, n + 1), np.float32)])
         ohx3 = np.concatenate(
             [
                 _onehot(pv(f.cm_a), n + 1),
@@ -130,6 +141,7 @@ class FusedConstants:
                 _onehot(pv(f.cm_c), n + 1),
             ]
         )
+        ohx23 = np.concatenate([ohx2p, ohx3]).astype(np.float32)
         ohx2g = _onehot(f.hx_m, len(f.qm_a))
         ohx3g = _onehot(f.ht_m, len(f.cm_a))
         ohq2 = _onehot(f.hx_q, len(f.pp_a))
@@ -191,6 +203,8 @@ class FusedConstants:
             pos_of_var=pos_of_var,
             ohx2=ohx2,
             ohx3=ohx3,
+            ohx23=ohx23,
+            x3_off=len(ohx2p),
             ohx2g=ohx2g,
             ohx3g=ohx3g,
             ohq2=ohq2,
@@ -216,62 +230,56 @@ class FusedConstants:
 
 
 def _quad(a, b, cc, t):
-    """A*t^2 + B*t + C as two FMAs; t real (1, T), coeffs (K, T)."""
+    """A*t^2 + B*t + C as two FMAs; t real broadcast row, coeffs (K, ...)."""
     return (a * t + b) * t + cc
 
 
-def _eval_core(c: FusedConstants, consts, ag2, ag3, x_re, x_im, t,
-               need_h: bool, need_ht: bool):
+def _eval_core(c: FusedConstants, consts, ag2, ag3, xp_w, t_w,
+               need_h: bool, need_ht: bool, T: int):
     """Evaluate Hx nonzeros and (optionally) H / -Ht at (x, t).
 
     Semantics of gpu-idx-evals/...LimUnroll_L2Cache.cuh:57-148 in the
-    monomial-factored form (models/trifocal.py); all matmuls hit the MXU.
-    Returns (hx (NNZ,T) planes, h, mht); h/mht are (E,T) plane pairs.
+    monomial-factored form (models/trifocal.py).  Every array carries the
+    complex planes side by side in the lane axis ([re | im], width 2T), so
+    each complex x real-constant matmul is ONE MXU op and the elementwise
+    complex products split/concat lanes at 128-aligned offsets.
+
+    xp_w: (31, 2T) homogeneous solution; t_w: (1, 2T) with t in both halves.
+    ag2/ag3: (3, K, 2T) wide quadratic pair-product coefficients (A, B, C).
+    Returns (hx (NNZ, 2T), h, mht) wide arrays (or None).
     """
-    (ohx2, ohx3, ohx2g, ohx3g, chx, cht) = consts
-    T = x_re.shape[1]
-    ones = jnp.ones((1, T), jnp.float32)
-    zeros = jnp.zeros((1, T), jnp.float32)
-    xp_re = jnp.concatenate([x_re, ones], axis=0)    # (31, T)
-    xp_im = jnp.concatenate([x_im, zeros], axis=0)
-
+    (ohx23, ohx2g, ohx3g, chx, cht) = consts
     m2 = c.m2
-    fac_re = _dot(ohx2, xp_re)                        # (2*M2, T)
-    fac_im = _dot(ohx2, xp_im)
-    x2_re, x2_im = _cmul(
-        fac_re[:m2], fac_im[:m2], fac_re[m2:], fac_im[m2:]
-    )                                                 # (M2, T)
-    x2g_re = _dot(ohx2g, x2_re)                       # (K2, T)
-    x2g_im = _dot(ohx2g, x2_im)
+    x3o = c.x3_off
+    m3 = c.m3
 
-    pg_re = _quad(ag2[0], ag2[2], ag2[4], t)          # (K2, T)
-    pg_im = _quad(ag2[1], ag2[3], ag2[5], t)
-    px2_re, px2_im = _cmul(pg_re, pg_im, x2g_re, x2g_im)
-    hx = (_dot(chx, px2_re), _dot(chx, px2_im))       # (NNZ, T)
+    if need_h or need_ht:
+        fac = _dot(ohx23, xp_w)                    # (x3_off + 3*M3, 2T)
+        f2 = fac[: 2 * m2]
+        f3 = fac[x3o:]
+    else:
+        f2 = _dot(ohx23[: 2 * m2], xp_w)           # (2*M2, 2T)
+        f3 = None
+
+    x2 = _cmul_w(f2[:m2], f2[m2: 2 * m2], T)       # (M2, 2T)
+    x2g = _dot(ohx2g, x2)                          # (K2, 2T)
+    pg = _quad(ag2[0], ag2[1], ag2[2], t_w)        # (K2, 2T)
+    px2 = _cmul_w(pg, x2g, T)
+    hx = _dot(chx, px2)                            # (NNZ, 2T)
 
     h = mht = None
     if need_h or need_ht:
-        m3 = c.m3
-        f3_re = _dot(ohx3, xp_re)                     # (3*M3, T)
-        f3_im = _dot(ohx3, xp_im)
-        ab_re, ab_im = _cmul(
-            f3_re[:m3], f3_im[:m3], f3_re[m3:2 * m3], f3_im[m3:2 * m3]
-        )
-        x3_re, x3_im = _cmul(ab_re, ab_im, f3_re[2 * m3:], f3_im[2 * m3:])
-        x3g_re = _dot(ohx3g, x3_re)                   # (K3, T)
-        x3g_im = _dot(ohx3g, x3_im)
+        ab = _cmul_w(f3[:m3], f3[m3: 2 * m3], T)
+        x3 = _cmul_w(ab, f3[2 * m3:], T)           # (M3, 2T)
+        x3g = _dot(ohx3g, x3)                      # (K3, 2T)
         if need_h:
-            p3_re = _quad(ag3[0], ag3[2], ag3[4], t)
-            p3_im = _quad(ag3[1], ag3[3], ag3[5], t)
-            px3_re, px3_im = _cmul(p3_re, p3_im, x3g_re, x3g_im)
-            h = (_dot(cht, px3_re), _dot(cht, px3_im))
+            p3 = _quad(ag3[0], ag3[1], ag3[2], t_w)
+            h = _dot(cht, _cmul_w(p3, x3g, T))
         if need_ht:
             # dP/dt = 2*A*t + B; negated so the RK solve yields dx/dt
             # directly (...LimUnroll_L2Cache.cuh:109-118 accumulates -Ht).
-            dp_re = 2.0 * ag3[0] * t + ag3[2]
-            dp_im = 2.0 * ag3[1] * t + ag3[3]
-            dpx_re, dpx_im = _cmul(dp_re, dp_im, x3g_re, x3g_im)
-            mht = (-_dot(cht, dpx_re), -_dot(cht, dpx_im))
+            dp = 2.0 * ag3[0] * t_w + ag3[1]
+            mht = -_dot(cht, _cmul_w(dp, x3g, T))
     return hx, h, mht
 
 
@@ -283,18 +291,20 @@ def _assemble(c: FusedConstants, m_re, m_im, hx, rhs, T: int):
     nonzero runs are written individually (contiguous in both source and
     destination by construction of the canonical nonzero order).
     """
-    hx_re, hx_im = hx
-    rhs_re, rhs_im = rhs
-    n = rhs_re.shape[0]
+    n = rhs.shape[0]
     z = jnp.zeros((n, n, T), jnp.float32)
     z1 = jnp.zeros((n, 1, T), jnp.float32)
-    m_re[:] = jnp.concatenate([z, rhs_re[:, None, :], z1], axis=1)
-    m_im[:] = jnp.concatenate([z, rhs_im[:, None, :], z1], axis=1)
+    # Plain slice then expand_dims: a combined [:, None, :T] index lowers
+    # to a lax.gather, which Mosaic cannot lower for this shape.
+    rhs_re = jnp.expand_dims(rhs[:, :T], 1)
+    rhs_im = jnp.expand_dims(rhs[:, T:], 1)
+    m_re[:] = jnp.concatenate([z, rhs_re, z1], axis=1)
+    m_im[:] = jnp.concatenate([z, rhs_im, z1], axis=1)
     for rp, runs in enumerate(c.row_runs_v):
         for (src_lo, src_hi, dst) in runs:
             w = src_hi - src_lo
-            m_re[rp, dst:dst + w] = hx_re[src_lo:src_hi]
-            m_im[rp, dst:dst + w] = hx_im[src_lo:src_hi]
+            m_re[rp, dst:dst + w] = hx[src_lo:src_hi, :T]
+            m_im[rp, dst:dst + w] = hx[src_lo:src_hi, T:]
 
 
 def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int):
@@ -395,18 +405,22 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
     n = len(c.steps)
 
     def kernel(x0_re, x0_im, apr, api, bpr, bpi, cpr, cpi,
-               ohx2, ohx3, ohx2g, ohx3g, ohq2, ohq3, chx, cht,
+               ohx23, ohx2g, ohx3g, ohq2, ohq3, chx, cht,
                xo_re, xo_im, flags,
                xl_re, xl_im, m_re, m_im, sv_re, sv_im, used,
                ag2, ag3, cont):
-        consts = (ohx2[:], ohx3[:], ohx2g[:], ohx3g[:], chx[:], cht[:])
+        consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:])
 
         # Hoisted pair-product quadratic coefficients, gathered to combos
-        # once per tile (the L2-persistent index-table analogue,
-        # GPU_HC_Solver.cpp:99-122 -- here they simply live in VMEM).
-        for i, src in enumerate((apr, api, bpr, bpi, cpr, cpi)):
-            ag2[i] = _dot(ohq2[:], src[:])
-            ag3[i] = _dot(ohq3[:], src[:])
+        # once per tile in wide [re | im] lane layout (the L2-persistent
+        # index-table analogue, GPU_HC_Solver.cpp:99-122 -- here they
+        # simply live in VMEM for the whole tile lifetime).
+        for i, (re_src, im_src) in enumerate(
+            ((apr, api), (bpr, bpi), (cpr, cpi))
+        ):
+            wide = jnp.concatenate([re_src[:], im_src[:]], axis=1)
+            ag2[i] = _dot(ohq2[:], wide)
+            ag3[i] = _dot(ohq3[:], wide)
 
         xo_re[:] = x0_re[:]
         xo_im[:] = x0_im[:]
@@ -430,12 +444,22 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
         cont[0] = 1
 
         def one_step():
-            ag2v = [ag2[i] for i in range(6)]
-            ag3v = [ag3[i] for i in range(6)]
+            ag2v = [ag2[i] for i in range(3)]
+            ag3v = [ag3[i] for i in range(3)]
+            ones = jnp.ones((1, T), jnp.float32)
+            zeros = jnp.zeros((1, T), jnp.float32)
 
             def es(x, tt, need_h, need_ht):
+                xp_w = jnp.concatenate(
+                    [
+                        jnp.concatenate([x[0], ones], axis=0),
+                        jnp.concatenate([x[1], zeros], axis=0),
+                    ],
+                    axis=1,
+                )
+                t_w = jnp.concatenate([tt, tt], axis=1)
                 hx, h, mht = _eval_core(
-                    c, consts, ag2v, ag3v, x[0], x[1], tt, need_h, need_ht
+                    c, consts, ag2v, ag3v, xp_w, t_w, need_h, need_ht, T
                 )
                 rhs = h if need_h else mht
                 _assemble(c, m_re, m_im, hx, rhs, T)
@@ -615,7 +639,7 @@ def make_track_fn(
     q = c.q
 
     grid_consts = [
-        c.ohx2, c.ohx3, c.ohx2g, c.ohx3g, c.ohq2, c.ohq3, c.chx, c.cht
+        c.ohx23, c.ohx2g, c.ohx3g, c.ohq2, c.ohq3, c.chx, c.cht
     ]
 
     def _const_spec(a):
@@ -674,8 +698,8 @@ def make_track_fn(
             pltpu.VMEM((n, width, tile), jnp.float32),  # sv_re
             pltpu.VMEM((n, width, tile), jnp.float32),  # sv_im
             pltpu.VMEM((n, tile), jnp.float32),        # used
-            pltpu.VMEM((6, c.k2, tile), jnp.float32),  # ag2
-            pltpu.VMEM((6, c.k3, tile), jnp.float32),  # ag3
+            pltpu.VMEM((3, c.k2, 2 * tile), jnp.float32),  # ag2 (wide)
+            pltpu.VMEM((3, c.k3, 2 * tile), jnp.float32),  # ag3 (wide)
             pltpu.SMEM((1,), jnp.int32),               # cont
         ]
         in_specs = (
