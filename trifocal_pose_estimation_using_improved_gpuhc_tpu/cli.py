@@ -110,8 +110,11 @@ def main(argv=None) -> int:
         import jax
 
         print("\n[cross-check] re-running round 0 on the CPU backend ...")
+        cpu_cfg = dataclasses.replace(
+            cfg, hc=dataclasses.replace(cfg.hc, backend="xla")
+        )
         with jax.default_device(jax.devices("cpu")[0]):
-            cpu_engine = TrifocalPoseEngine(cfg)
+            cpu_engine = TrifocalPoseEngine(cpu_cfg)
             rr = cpu_engine.run_round(
                 view0, seed=0, num_hypotheses=min(args.hypotheses or 8, 8)
             )

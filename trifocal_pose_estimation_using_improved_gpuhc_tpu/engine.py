@@ -12,6 +12,7 @@ second scores candidate poses against all edgels.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import List, Optional
 
@@ -61,16 +62,35 @@ class TrifocalPoseEngine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
         self.problem = trifocal.TrifocalProblem.load(cfg)
-        if cfg.hc.backend == "fused":
-            from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
-                fused,
-            )
+        self._segmented = False
+        backend = cfg.hc.backend
+        interp = jax.default_backend() == "cpu"
+        if backend == "fused" and interp and not os.environ.get(
+            "TPUHC_FORCE_INTERPRET"
+        ):
+            # On the CPU backend the XLA tracker IS the product (the CPU-HC
+            # solver, reference CPU_HC_Solver.cpp); interpreted Pallas is
+            # only for kernel-parity tests (TPUHC_FORCE_INTERPRET=1).
+            backend = "xla"
+        if backend == "fused":
+            if cfg.hc.compact_survivors or cfg.ransac.abort_by_good_sol:
+                from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
+                    segmented,
+                )
 
-            # Pallas TPU kernels run interpreted on the CPU backend (tests).
-            interp = jax.default_backend() == "cpu"
-            self.track = fused.make_track_fn(
-                self.problem, cfg.hc, tile=cfg.hc.tile, interpret=interp
-            )
+                self.track = segmented.make_segmented_track_fn(
+                    self.problem, cfg.hc, cfg.ransac,
+                    tile=cfg.hc.tile, interpret=interp,
+                )
+                self._segmented = True
+            else:
+                from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
+                    fused,
+                )
+
+                self.track = fused.make_track_fn(
+                    self.problem, cfg.hc, tile=cfg.hc.tile, interpret=interp
+                )
         else:
             self.track = tracker.make_track_fn(self.problem, cfg.hc)
         self._pose_fn = jax.jit(
@@ -114,22 +134,36 @@ class TrifocalPoseEngine:
         # separate phases and magma_wtime only brackets kernel launch+sync
         # (GPU_HC_Solver.cpp:335-362, :384-446).
         f32 = np.float32
-        dev = [
-            jax.device_put(a)
-            for a in (
-                x0.real.astype(f32), x0.imag.astype(f32),
-                tgt_b.real.astype(f32), tgt_b.imag.astype(f32),
-                diff_b.real.astype(f32), diff_b.imag.astype(f32),
-            )
+        host_args = [
+            x0.real.astype(f32), x0.imag.astype(f32),
+            tgt_b.real.astype(f32), tgt_b.imag.astype(f32),
+            diff_b.real.astype(f32), diff_b.imag.astype(f32),
         ]
+        edgels_padded = _pad_to(
+            view.edge_locations.astype(f32),
+            _EDGEL_PAD * -(-n_edgels // _EDGEL_PAD),
+            1e3,
+        )
+        if self._segmented:
+            host_args += [
+                edgels_padded, self._intrinsics.astype(f32),
+                np.float32(n_edgels),
+            ]
+        dev = [jax.device_put(a) for a in host_args]
         jax.block_until_ready(dev)
 
         t_start = time.perf_counter()
         out = self.track.jitted(*dev)
-        jax.block_until_ready(out)
+        # Force completion with a small d2h read: on some TPU runtimes
+        # block_until_ready returns before the computation has drained.
+        np.asarray(out[2])
         t_track = time.perf_counter()
 
-        xr, xi, conv, inf, pruned, steps = out
+        found_dev = None
+        if self._segmented:
+            xr, xi, conv, inf, pruned, steps, found_dev, _fp = out
+        else:
+            xr, xi, conv, inf, pruned, steps = out
         res = tracker.TrackResult(
             x=(np.asarray(xr) + 1j * np.asarray(xi)).astype(np.complex64),
             converged=np.asarray(conv),

@@ -235,7 +235,7 @@ def _quad(a, b, cc, t):
 
 
 def _eval_core(c: FusedConstants, consts, ag2, ag3, xp_w, t_w,
-               need_h: bool, need_ht: bool, T: int):
+               need_h: bool, need_ht: bool, T: int, need_hx: bool = True):
     """Evaluate Hx nonzeros and (optionally) H / -Ht at (x, t).
 
     Semantics of gpu-idx-evals/...LimUnroll_L2Cache.cuh:57-148 in the
@@ -253,19 +253,24 @@ def _eval_core(c: FusedConstants, consts, ag2, ag3, xp_w, t_w,
     x3o = c.x3_off
     m3 = c.m3
 
-    if need_h or need_ht:
+    if (need_h or need_ht) and need_hx:
         fac = _dot(ohx23, xp_w)                    # (x3_off + 3*M3, 2T)
         f2 = fac[: 2 * m2]
         f3 = fac[x3o:]
-    else:
+    elif need_hx:
         f2 = _dot(ohx23[: 2 * m2], xp_w)           # (2*M2, 2T)
         f3 = None
+    else:
+        f2 = None
+        f3 = _dot(ohx23[x3o:], xp_w)               # (3*M3, 2T)
 
-    x2 = _cmul_w(f2[:m2], f2[m2: 2 * m2], T)       # (M2, 2T)
-    x2g = _dot(ohx2g, x2)                          # (K2, 2T)
-    pg = _quad(ag2[0], ag2[1], ag2[2], t_w)        # (K2, 2T)
-    px2 = _cmul_w(pg, x2g, T)
-    hx = _dot(chx, px2)                            # (NNZ, 2T)
+    hx = None
+    if need_hx:
+        x2 = _cmul_w(f2[:m2], f2[m2: 2 * m2], T)   # (M2, 2T)
+        x2g = _dot(ohx2g, x2)                      # (K2, 2T)
+        pg = _quad(ag2[0], ag2[1], ag2[2], t_w)    # (K2, 2T)
+        px2 = _cmul_w(pg, x2g, T)
+        hx = _dot(chx, px2)                        # (NNZ, 2T)
 
     h = mht = None
     if need_h or need_ht:
@@ -307,12 +312,17 @@ def _assemble(c: FusedConstants, m_re, m_im, hx, rhs, T: int):
             m_im[rp, dst:dst + w] = hx[src_lo:src_hi, T:]
 
 
-def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int):
+def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int,
+           save=None):
     """Structured partial-pivoted elimination + back-substitution.
 
     Batched (lanes = paths) version of schedule.solve_numpy; the pivot
     metric and zero-pivot guard mirror dev-cgesv-batched-small.cuh:50-95.
     Returns dx (30, T) complex planes in permuted variable order.
+
+    save = (foh, ffr, ffi) scratch refs: record each step's pivot one-hot
+    and elimination multipliers so _resolve_rhs can re-apply the same
+    factorization to a new right-hand side (frozen-Jacobian RK stages).
     """
     n = len(c.steps)
     width = n + 2
@@ -354,6 +364,11 @@ def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int):
         nm = 1.0 - oh
         fr = fr * nm
         fi = fi * nm
+        if save is not None:
+            foh, ffr, ffi = save
+            foh[s, :nc] = oh
+            ffr[s, :nc] = fr
+            ffi[s, :nc] = fi
         new_re = Mre - (fr[:, None, :] * prow_re[None]
                         - fi[:, None, :] * prow_im[None])
         new_im = Mim - (fr[:, None, :] * prow_im[None]
@@ -367,7 +382,13 @@ def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int):
             used[a:b] = new_used[off:off + w_r]
             off += w_r
 
-    # Back-substitution on the saved pivot rows, reverse schedule order.
+    return _backsub(c, sv_re, sv_im, T)
+
+
+def _backsub(c: FusedConstants, sv_re, sv_im, T: int):
+    """Back-substitution on saved pivot rows, reverse schedule order."""
+    n = len(c.steps)
+    width = n + 2
     xe_re = [jnp.zeros((1, T), jnp.float32) for _ in range(width)]
     xe_im = [jnp.zeros((1, T), jnp.float32) for _ in range(width)]
     xe_re[n] = -jnp.ones((1, T), jnp.float32)
@@ -392,6 +413,45 @@ def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int):
     return dx_re, dx_im
 
 
+def _resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
+                 rr_re, rr_im, rhs, T: int):
+    """Re-apply a saved factorization to a new rhs, then back-substitute.
+
+    Forward pass: replay each step's pivot one-hot + multipliers on the rhs
+    vector only; the eliminated pivot-row rhs overwrites the saved row's
+    rhs column so the shared _backsub solves against the new rhs.  This is
+    the frozen-Jacobian RK path: O(n^2)-ish instead of a full elimination.
+    """
+    n = len(c.steps)
+    rr_re[:] = rhs[:, :T]
+    rr_im[:] = rhs[:, T:]
+    for s, runs, lo in c.steps:
+        nc = sum(hi - lo_r for lo_r, hi in runs)
+        if len(runs) == 1:
+            a0, b0 = runs[0]
+            Rre = rr_re[a0:b0]
+            Rim = rr_im[a0:b0]
+        else:
+            Rre = jnp.concatenate([rr_re[a:b] for a, b in runs], axis=0)
+            Rim = jnp.concatenate([rr_im[a:b] for a, b in runs], axis=0)
+        oh = foh[s, :nc]
+        pr = jnp.sum(oh * Rre, axis=0, keepdims=True)   # (1, T)
+        pi = jnp.sum(oh * Rim, axis=0, keepdims=True)
+        fr = ffr[s, :nc]
+        fi = ffi[s, :nc]
+        new_re = Rre - (fr * pr - fi * pi)
+        new_im = Rim - (fr * pi + fi * pr)
+        off = 0
+        for a, b in runs:
+            w_r = b - a
+            rr_re[a:b] = new_re[off:off + w_r]
+            rr_im[a:b] = new_im[off:off + w_r]
+            off += w_r
+        sv_re[s, n:n + 1] = pr
+        sv_im[s, n:n + 1] = pi
+    return _backsub(c, sv_re, sv_im, T)
+
+
 # ---------------------------------------------------------------------------
 # The kernel.
 # ---------------------------------------------------------------------------
@@ -401,14 +461,23 @@ def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int):
 _F_T, _F_DT, _F_SC, _F_EZ, _F_CK, _F_INF, _F_PRN, _F_NST = range(8)
 
 
-def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
+def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int):
+    """Kernel running up to n_iters HC steps on resumable state.
+
+    State (x, x_last, flags) comes in as inputs and leaves as outputs, so
+    the same kernel serves both the single-shot tracker (n_iters covers the
+    whole budget) and the segmented tracker (ops/segmented.py) that scores
+    candidates / compacts survivors between segments.
+    """
     n = len(c.steps)
 
-    def kernel(x0_re, x0_im, apr, api, bpr, bpi, cpr, cpi,
+    def kernel(niter, x0_re, x0_im, xli_re, xli_im, fli,
+               apr, api, bpr, bpi, cpr, cpi,
                ohx23, ohx2g, ohx3g, ohq2, ohq3, chx, cht,
-               xo_re, xo_im, flags,
-               xl_re, xl_im, m_re, m_im, sv_re, sv_im, used,
-               ag2, ag3, cont):
+               xo_re, xo_im, xl_re, xl_im, flags,
+               m_re, m_im, sv_re, sv_im, used,
+               ag2, ag3, cw_re, cw_im, cfl,
+               foh, ffr, ffi, rr_re, rr_im, cont):
         consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:])
 
         # Hoisted pair-product quadratic coefficients, gathered to combos
@@ -424,24 +493,21 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
 
         xo_re[:] = x0_re[:]
         xo_im[:] = x0_im[:]
-        xl_re[:] = x0_re[:]
-        xl_im[:] = x0_im[:]
-        zrow = jnp.zeros((1, T), jnp.float32)
-        flags[:] = jnp.concatenate(
-            [
-                zrow,
-                jnp.full((1, T), cfg.init_delta_t, jnp.float32),
-                zrow,
-                zrow,
-                jnp.full((1, T), 1.0 if cfg.truncate_paths else 0.0,
-                         jnp.float32),
-                zrow,
-                zrow,
-                zrow,
-            ],
-            axis=0,
+        xl_re[:] = xli_re[:]
+        xl_im[:] = xli_im[:]
+        fl0 = fli[:]
+        flags[:] = fl0
+        t0 = fl0[_F_T:_F_T + 1]
+        conv0 = jnp.maximum(
+            (t0 >= 1.0).astype(jnp.float32),
+            (1.0 - t0 <= cfg.t_converged_eps).astype(jnp.float32),
         )
-        cont[0] = 1
+        act0 = (
+            (1.0 - conv0)
+            * (1.0 - fl0[_F_INF:_F_INF + 1])
+            * (1.0 - fl0[_F_PRN:_F_PRN + 1])
+        )
+        cont[0] = jnp.max(act0).astype(jnp.int32)
 
         def one_step():
             ag2v = [ag2[i] for i in range(3)]
@@ -449,7 +515,7 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
             ones = jnp.ones((1, T), jnp.float32)
             zeros = jnp.zeros((1, T), jnp.float32)
 
-            def es(x, tt, need_h, need_ht):
+            def _wide(x, tt):
                 xp_w = jnp.concatenate(
                     [
                         jnp.concatenate([x[0], ones], axis=0),
@@ -457,13 +523,29 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
                     ],
                     axis=1,
                 )
-                t_w = jnp.concatenate([tt, tt], axis=1)
+                return xp_w, jnp.concatenate([tt, tt], axis=1)
+
+            def es(x, tt, need_h, need_ht, save=None):
+                xp_w, t_w = _wide(x, tt)
                 hx, h, mht = _eval_core(
                     c, consts, ag2v, ag3v, xp_w, t_w, need_h, need_ht, T
                 )
                 rhs = h if need_h else mht
                 _assemble(c, m_re, m_im, hx, rhs, T)
-                return _solve(c, m_re, m_im, sv_re, sv_im, used, T)
+                return _solve(c, m_re, m_im, sv_re, sv_im, used, T,
+                              save=save)
+
+            def es_rhs(x, tt):
+                # Frozen-Jacobian stage: -Ht only, replay the saved
+                # factorization on the new rhs (strategy RKJ; see HCConfig).
+                xp_w, t_w = _wide(x, tt)
+                _, _, mht = _eval_core(
+                    c, consts, ag2v, ag3v, xp_w, t_w, False, True, T,
+                    need_hx=False,
+                )
+                return _resolve_rhs(
+                    c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im, mht, T
+                )
 
             x_re = xo_re[:]
             x_im = xo_im[:]
@@ -511,29 +593,42 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
             )
             half = 0.5 * dtc
 
-            # RK4 predictor (...TrunPaths.cu:170-211).
-            k1 = es((x_re, x_im), t, False, True)
+            # RK4 predictor (...TrunPaths.cu:170-211).  With
+            # rk_jacobian_reuse, stages 2-4 freeze Hx at the step's start
+            # and only re-evaluate Ht + replay the factorization.
+            if cfg.rk_jacobian_reuse:
+                k1 = es((x_re, x_im), t, False, True,
+                        save=(foh, ffr, ffi))
+                stage = es_rhs
+            else:
+                k1 = es((x_re, x_im), t, False, True)
+                stage = lambda x, tt: es(x, tt, False, True)
             xb = (x_re + half * k1[0], x_im + half * k1[1])
             tb = t + half
-            k2 = es(xb, tb, False, True)
+            k2 = stage(xb, tb)
             xc = (x_re + half * k2[0], x_im + half * k2[1])
-            k3 = es(xc, tb, False, True)
+            k3 = stage(xc, tb)
             tc = tb + half
             xd = (x_re + dtc * k3[0], x_im + dtc * k3[1])
-            k4 = es(xd, tc, False, True)
+            k4 = stage(xd, tc)
             sixth = dtc / 6.0
             cur_re = x_re + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
             cur_im = x_im + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
 
-            # Newton corrector at frozen t_c (:216-250), unrolled + masked.
-            successf = jnp.zeros((1, T), jnp.float32)
-            inff = jnp.zeros((1, T), jnp.float32)
-            donef = jnp.zeros((1, T), jnp.float32)
-            for _ in range(cfg.max_correction_steps):
-                dx = es((cur_re, cur_im), tc, True, False)
-                live = 1.0 - donef
-                nr = cur_re - live * dx[0]
-                ni = cur_im - live * dx[1]
+            # Newton corrector at frozen t_c (:216-250): state lives in
+            # scratch refs so iterations after the first run under a
+            # tile-wide skip once every lane has succeeded or blown up
+            # (the reference's per-warp corrector break, :241-242).
+            cw_re[:] = cur_re
+            cw_im[:] = cur_im
+            cfl[:] = jnp.zeros((3, T), jnp.float32)
+
+            def corrector_iter():
+                donef_l = cfl[2:3]
+                dx = es((cw_re[:], cw_im[:]), tc, True, False)
+                live = 1.0 - donef_l
+                nr = cw_re[:] - live * dx[0]
+                ni = cw_im[:] - live * dx[1]
                 sq_dx = jnp.sum(dx[0] ** 2 + dx[1] ** 2, axis=0,
                                 keepdims=True)
                 sq_x = jnp.sum(nr ** 2 + ni ** 2, axis=0, keepdims=True)
@@ -541,10 +636,22 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
                     jnp.float32
                 )
                 inf_i = (sq_x > cfg.infinity_norm_sq).astype(jnp.float32)
-                successf = donef * successf + live * succ_i
-                inff = donef * inff + live * inf_i
-                donef = jnp.maximum(donef, jnp.maximum(successf, inff))
-                cur_re, cur_im = nr, ni
+                sf = cfl[0:1] * donef_l + live * succ_i
+                inf_f = cfl[1:2] * donef_l + live * inf_i
+                df = jnp.maximum(donef_l, jnp.maximum(sf, inf_f))
+                cw_re[:] = nr
+                cw_im[:] = ni
+                cfl[:] = jnp.concatenate([sf, inf_f, df], axis=0)
+
+            corrector_iter()
+            for _ in range(cfg.max_correction_steps - 1):
+                @pl.when(jnp.min(cfl[2:3]) < 0.5)
+                def _():
+                    corrector_iter()
+            successf = cfl[0:1]
+            inff = cfl[1:2]
+            cur_re = cw_re[:]
+            cur_im = cw_im[:]
 
             # Outcome bookkeeping (:252-276), as in ops/tracker.py.
             inf_hitf = activef * inff
@@ -598,12 +705,12 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
             cont[0] = jnp.max(active2).astype(jnp.int32)
 
         def body(i, carry):
-            @pl.when(cont[0] == 1)
+            @pl.when((cont[0] == 1) & (i < niter[0]))
             def _():
                 one_step()
             return carry
 
-        jax.lax.fori_loop(0, cfg.max_steps + 1, body, 0)
+        jax.lax.fori_loop(0, n_iters, body, 0)
 
     return kernel
 
@@ -613,33 +720,27 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int):
 # ---------------------------------------------------------------------------
 
 
-def make_track_fn(
+def build_kernel_caller(
+    c: FusedConstants,
     problem: TrifocalProblem,
     cfg: HCConfig,
-    tile: int = 256,
-    interpret: bool = False,
+    tile: int,
+    n_iters: int,
+    interpret: bool,
 ):
-    """Build the fused path-tracking function (ops/tracker.py-compatible).
+    """Return run(state, coefs) -> state executing n_iters HC steps.
 
-    Returned ``track(x0, target_params, diff_params) -> TrackResult`` plus
-    ``track.jitted`` taking/returning f32 planes, batch-first -- the same
-    contract as tracker.make_track_fn so the engine can swap backends.
+    state = (x_re, x_im, xl_re, xl_im, flags) batch-last (rows, Bp) with Bp
+    a multiple of ``tile``; coefs = 6 arrays (Q, Bp).  Grid iterates path
+    tiles; a tile with no active lane skips its whole segment.
     """
-    c = FusedConstants.build(problem)
-    kernel = _make_kernel(c, cfg, tile)
+    kernel = _make_kernel(c, cfg, tile, n_iters)
     n = problem.num_vars
     width = n + 2
-    f = problem.factored
-    pp_a = np.asarray(f.pp_a)
-    pp_b = np.asarray(f.pp_b)
-    sp = np.asarray(problem.start_params)  # (P+1,) complex64
-    sa = sp[pp_a]
-    sb = sp[pp_b]
-    perm = np.asarray(c.perm)
     q = c.q
-
     grid_consts = [
-        c.ohx23, c.ohx2g, c.ohx3g, c.ohq2, c.ohq3, c.chx, c.cht
+        jnp.asarray(a)
+        for a in (c.ohx23, c.ohx2g, c.ohx3g, c.ohq2, c.ohq3, c.chx, c.cht)
     ]
 
     def _const_spec(a):
@@ -650,94 +751,141 @@ def make_track_fn(
         return pl.BlockSpec((rows, tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    @jax.jit
-    def _track_planes(x0_re, x0_im, tgt_re, tgt_im, diff_re, diff_im):
-        B = x0_re.shape[0]
-        nt = -(-B // tile)
-        Bp = nt * tile
-
-        def padb(a):  # (B, K) -> (K, Bp), batch-last, pad by edge replication
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (Bp - B,) + a.shape[1:])], axis=0
-            ) if Bp != B else a
-            return a.T
-
-        # Per-path pair-product quadratic coefficients (see module doc).
-        da_re = padb(diff_re[:, pp_a])
-        da_im = padb(diff_im[:, pp_a])
-        db_re = padb(diff_re[:, pp_b])
-        db_im = padb(diff_im[:, pp_b])
-        sa_re = sa.real[:, None]
-        sa_im = sa.imag[:, None]
-        sb_re = sb.real[:, None]
-        sb_im = sb.imag[:, None]
-        # A = da*db; B = sa*db + sb*da; C = sa*sb  (complex).
-        apr, api = _cmul(da_re, da_im, db_re, db_im)
-        bpr = sa_re * db_re - sa_im * db_im + sb_re * da_re - sb_im * da_im
-        bpi = sa_re * db_im + sa_im * db_re + sb_re * da_im + sb_im * da_re
-        cpr = jnp.broadcast_to((sa * sb).real[:, None], (q, Bp)).astype(
-            jnp.float32
-        )
-        cpi = jnp.broadcast_to((sa * sb).imag[:, None], (q, Bp)).astype(
-            jnp.float32
-        )
-
-        x0p_re = padb(x0_re)[perm]   # permuted variable order, batch-last
-        x0p_im = padb(x0_im)[perm]
-
+    def run(state, coefs, niter=None):
+        if niter is None:
+            niter = jnp.full((1,), n_iters, jnp.int32)
+        x_re, x_im, xl_re, xl_im, fl = state
+        Bp = x_re.shape[1]
+        nt = Bp // tile
         out_shapes = (
+            jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((n, Bp), jnp.float32),
             jax.ShapeDtypeStruct((n, Bp), jnp.float32),
             jax.ShapeDtypeStruct((n, Bp), jnp.float32),
             jax.ShapeDtypeStruct((8, Bp), jnp.float32),
         )
         scratch = [
-            pltpu.VMEM((n, tile), jnp.float32),        # xl_re
-            pltpu.VMEM((n, tile), jnp.float32),        # xl_im
             pltpu.VMEM((n, width, tile), jnp.float32),  # m_re
             pltpu.VMEM((n, width, tile), jnp.float32),  # m_im
             pltpu.VMEM((n, width, tile), jnp.float32),  # sv_re
             pltpu.VMEM((n, width, tile), jnp.float32),  # sv_im
-            pltpu.VMEM((n, tile), jnp.float32),        # used
+            pltpu.VMEM((n, tile), jnp.float32),         # used
             pltpu.VMEM((3, c.k2, 2 * tile), jnp.float32),  # ag2 (wide)
             pltpu.VMEM((3, c.k3, 2 * tile), jnp.float32),  # ag3 (wide)
-            pltpu.SMEM((1,), jnp.int32),               # cont
+            pltpu.VMEM((n, tile), jnp.float32),         # cw_re (corrector)
+            pltpu.VMEM((n, tile), jnp.float32),         # cw_im
+            pltpu.VMEM((3, tile), jnp.float32),         # cfl
+            pltpu.VMEM((n, n, tile), jnp.float32),      # foh (pivot onehots)
+            pltpu.VMEM((n, n, tile), jnp.float32),      # ffr (multipliers re)
+            pltpu.VMEM((n, n, tile), jnp.float32),      # ffi (multipliers im)
+            pltpu.VMEM((n, tile), jnp.float32),         # rr_re (rhs replay)
+            pltpu.VMEM((n, tile), jnp.float32),         # rr_im
+            pltpu.SMEM((1,), jnp.int32),                # cont
         ]
         in_specs = (
-            [_tile_spec(n)] * 2
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [_tile_spec(n)] * 4
+            + [_tile_spec(8)]
             + [_tile_spec(q)] * 6
             + [_const_spec(a) for a in grid_consts]
         )
-        out_specs = (_tile_spec(n), _tile_spec(n), _tile_spec(8))
-        xr, xi, fl = pl.pallas_call(
+        out_specs = (
+            _tile_spec(n), _tile_spec(n), _tile_spec(n), _tile_spec(n),
+            _tile_spec(8),
+        )
+        return pl.pallas_call(
             kernel,
             grid=(nt,),
             out_shape=out_shapes,
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
+            input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4},
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(
-            x0p_re, x0p_im, apr, api, bpr, bpi, cpr, cpi,
-            *[jnp.asarray(a) for a in grid_consts],
-        )
-        inv = np.argsort(perm)
-        xr = xr[inv][:, :B].T  # back to original var order, batch-first
-        xi = xi[inv][:, :B].T
-        fl = fl[:, :B]
-        t = fl[_F_T]
-        converged = (t >= 1.0) | (1.0 - t <= cfg.t_converged_eps)
-        return (
-            xr,
-            xi,
-            converged,
-            fl[_F_INF] > 0.5,
-            fl[_F_PRN] > 0.5,
-            fl[_F_NST].astype(jnp.int32),
-        )
+        )(niter, x_re, x_im, xl_re, xl_im, fl, *coefs, *grid_consts)
 
+    return run
+
+
+def build_pair_coefs(problem: TrifocalProblem, diff_re, diff_im, Bp: int):
+    """Per-path quadratic pair-product coefficients (A, B, C), batch-last.
+
+    p(t) = start + t*diff, so P_q(t) = (s_a + t d_a)(s_b + t d_b)
+    = A t^2 + B t + C with A = d_a d_b, B = s_a d_b + s_b d_a,
+    C = s_a s_b.  diff_*: (B, P+1) planes; returns 6 arrays (Q, Bp).
+    """
+    f = problem.factored
+    pp_a = np.asarray(f.pp_a)
+    pp_b = np.asarray(f.pp_b)
+    sp = np.asarray(problem.start_params)
+    sa = sp[pp_a]
+    sb = sp[pp_b]
+    q = len(pp_a)
+    B = diff_re.shape[0]
+
+    def padb(a):  # (B, K) -> (K, Bp)
+        if Bp != B:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (Bp - B,) + a.shape[1:])], axis=0
+            )
+        return a.T
+
+    da_re = padb(diff_re[:, pp_a])
+    da_im = padb(diff_im[:, pp_a])
+    db_re = padb(diff_re[:, pp_b])
+    db_im = padb(diff_im[:, pp_b])
+    sa_re = sa.real[:, None]
+    sa_im = sa.imag[:, None]
+    sb_re = sb.real[:, None]
+    sb_im = sb.imag[:, None]
+    apr, api = _cmul(da_re, da_im, db_re, db_im)
+    bpr = sa_re * db_re - sa_im * db_im + sb_re * da_re - sb_im * da_im
+    bpi = sa_re * db_im + sa_im * db_re + sb_re * da_im + sb_im * da_re
+    cpr = jnp.broadcast_to((sa * sb).real[:, None], (q, Bp)).astype(
+        jnp.float32
+    )
+    cpi = jnp.broadcast_to((sa * sb).imag[:, None], (q, Bp)).astype(
+        jnp.float32
+    )
+    return (apr, api, bpr, bpi, cpr, cpi)
+
+
+def init_flags(cfg: HCConfig, Bp: int):
+    """Fresh per-path tracker state rows (8, Bp); see _F_* layout."""
+    z = jnp.zeros((1, Bp), jnp.float32)
+    return jnp.concatenate(
+        [
+            z,
+            jnp.full((1, Bp), cfg.init_delta_t, jnp.float32),
+            z,
+            z,
+            jnp.full((1, Bp), 1.0 if cfg.truncate_paths else 0.0,
+                     jnp.float32),
+            z,
+            z,
+            z,
+        ],
+        axis=0,
+    )
+
+
+def flags_outputs(cfg: HCConfig, fl, B: int):
+    """flags (8, Bp) -> (converged, inf_fail, pruned, num_steps), (B,)."""
+    fl = fl[:, :B]
+    t = fl[_F_T]
+    converged = (t >= 1.0) | (1.0 - t <= cfg.t_converged_eps)
+    return (
+        converged,
+        fl[_F_INF] > 0.5,
+        fl[_F_PRN] > 0.5,
+        fl[_F_NST].astype(jnp.int32),
+    )
+
+
+def _wrap_track(cfg, _track_planes):
     def track(x0, target_params, diff_params) -> TrackResult:
         x0 = np.asarray(x0)
         tgt = np.asarray(target_params)
@@ -758,5 +906,50 @@ def make_track_fn(
         )
 
     track.jitted = _track_planes
+    return track
+
+
+def make_track_fn(
+    problem: TrifocalProblem,
+    cfg: HCConfig,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """Build the fused path-tracking function (ops/tracker.py-compatible).
+
+    Returned ``track(x0, target_params, diff_params) -> TrackResult`` plus
+    ``track.jitted`` taking/returning f32 planes, batch-first -- the same
+    contract as tracker.make_track_fn so the engine can swap backends.
+    """
+    c = FusedConstants.build(problem)
+    run = build_kernel_caller(
+        c, problem, cfg, tile, cfg.max_steps + 1, interpret
+    )
+    perm = np.asarray(c.perm)
+    inv = np.argsort(perm)
+
+    @jax.jit
+    def _track_planes(x0_re, x0_im, tgt_re, tgt_im, diff_re, diff_im):
+        B = x0_re.shape[0]
+        Bp = -(-B // tile) * tile
+
+        def padb(a):
+            if Bp != B:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (Bp - B,) + a.shape[1:])],
+                    axis=0,
+                )
+            return a.T
+
+        coefs = build_pair_coefs(problem, diff_re, diff_im, Bp)
+        x_re = padb(x0_re)[perm]   # permuted variable order, batch-last
+        x_im = padb(x0_im)[perm]
+        state = (x_re, x_im, x_re, x_im, init_flags(cfg, Bp))
+        xr, xi, _, _, fl = run(state, coefs)
+        xr = xr[inv][:, :B].T  # back to original var order, batch-first
+        xi = xi[inv][:, :B].T
+        return (xr, xi) + flags_outputs(cfg, fl, B)
+
+    track = _wrap_track(cfg, _track_planes)
     track.constants = c
     return track

@@ -49,7 +49,15 @@ class HCConfig:
     infinity_norm_sq: float = 1e14      # ||x||^2 > 1e14 -> infinity fail (:242)
     truncate_paths: bool = True         # TrunPaths: depth-sign pruning (:149-154)
     # Optimisation knobs beyond the reference (ablation ladder additions):
-    compact_survivors: bool = True      # two-phase tracking with survivor compaction
+    compact_survivors: bool = True      # compact active paths between segments
+    segment_steps: int = 8              # HC steps per fused-kernel segment
+    # (RKJ) frozen-Jacobian RK stages: evaluate/factor Hx once per HC step,
+    # re-apply the factorization to stages 2-4's -Ht right-hand sides. The
+    # corrector still uses the exact Jacobian, so converged roots satisfy
+    # the same tolerance; only predictor quality (and hence step counts /
+    # convergence statistics) can shift. Our strategy beyond the
+    # reference's four (README.md:5); validated against the exact-RK4 mode.
+    rk_jacobian_reuse: bool = False
     reuse_factorization_refine: int = 0  # 0 = exact solve every stage (reference parity)
     # Tracker backend: "fused" = Pallas fused kernel (ops/fused.py, the
     # production path), "xla" = plain-JAX masked while_loop (ops/tracker.py,
