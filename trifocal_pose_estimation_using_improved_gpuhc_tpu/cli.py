@@ -33,6 +33,9 @@ def main(argv=None) -> int:
                     help="force a JAX platform (default: environment)")
     ap.add_argument("--cross-check", action="store_true",
                     help="also run the CPU-HC oracle and compare statistics")
+    ap.add_argument("--abort", action="store_true",
+                    help="Abort_RANSAC_by_Good_Sol: stop once a pose with "
+                         ">=90%% inlier support is found on-device")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--output-dir", default="Output_Write_Files")
     args = ap.parse_args(argv)
@@ -52,6 +55,11 @@ def main(argv=None) -> int:
     )
 
     cfg = EngineConfig(problem=ProblemConfig(name=args.problem))
+    if args.abort:
+        cfg = dataclasses.replace(
+            cfg,
+            ransac=dataclasses.replace(cfg.ransac, abort_by_good_sol=True),
+        )
     if args.data_root:
         cfg = dataclasses.replace(cfg, data_root=args.data_root)
     os.makedirs(args.output_dir, exist_ok=True)

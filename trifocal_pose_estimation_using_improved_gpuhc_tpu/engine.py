@@ -149,28 +149,78 @@ class TrifocalPoseEngine:
                 edgels_padded, self._intrinsics.astype(f32),
                 np.float32(n_edgels),
             ]
-        dev = [jax.device_put(a) for a in host_args]
-        jax.block_until_ready(dev)
 
-        t_start = time.perf_counter()
-        out = self.track.jitted(*dev)
-        # Force completion with a small d2h read: on some TPU runtimes
-        # block_until_ready returns before the computation has drained.
-        np.asarray(out[2])
-        t_track = time.perf_counter()
+        abort = self._segmented and cfg.ransac.abort_by_good_sol
+        if abort:
+            # TrunRANSAC chunking: hypotheses launch in chunks; once one
+            # chunk reports a >=90%-support pose, the rest are skipped
+            # entirely (the explicit form of the reference's serialised
+            # late blocks seeing the abort flag, ...TrunRANSAC.cu:152).
+            chunk_h = min(cfg.ransac.abort_chunk, H)
+            n_chunks = -(-H // chunk_h)
+            per = chunk_h * T
+            chunks = []
+            for ci in range(n_chunks):
+                lo, hi = ci * per, min((ci + 1) * per, H * T)
+                args = [a[lo:hi] for a in host_args[:6]] + host_args[6:]
+                if hi - lo < per:  # ragged tail: pad with first paths
+                    args[:6] = [
+                        np.concatenate([a, a[: per - (hi - lo)]])
+                        for a in args[:6]
+                    ]
+                chunks.append([jax.device_put(a) for a in args])
+            jax.block_until_ready(chunks)
 
-        found_dev = None
-        if self._segmented:
-            xr, xi, conv, inf, pruned, steps, found_dev, _fp = out
+            t_start = time.perf_counter()
+            outs, done_chunks = [], 0
+            for ci in range(n_chunks):
+                out = self.track.jitted(*chunks[ci])
+                outs.append(out)
+                done_chunks += 1
+                if bool(np.asarray(out[6])):
+                    break
+            t_track = time.perf_counter()
+
+            def cat(i, fill):
+                done = np.concatenate(
+                    [np.asarray(o[i]) for o in outs], axis=0
+                )[: done_chunks * per]
+                if done.shape[0] < H * T:
+                    pad_shape = (H * T - done.shape[0],) + done.shape[1:]
+                    done = np.concatenate(
+                        [done, np.full(pad_shape, fill, done.dtype)]
+                    )
+                return done[: H * T]
+
+            res = tracker.TrackResult(
+                x=(cat(0, 0.0) + 1j * cat(1, 0.0)).astype(np.complex64),
+                converged=cat(2, False),
+                inf_fail=cat(3, False),
+                pruned=cat(4, False),
+                num_steps=cat(5, 0),
+            )
         else:
-            xr, xi, conv, inf, pruned, steps = out
-        res = tracker.TrackResult(
-            x=(np.asarray(xr) + 1j * np.asarray(xi)).astype(np.complex64),
-            converged=np.asarray(conv),
-            inf_fail=np.asarray(inf),
-            pruned=np.asarray(pruned),
-            num_steps=np.asarray(steps),
-        )
+            dev = [jax.device_put(a) for a in host_args]
+            jax.block_until_ready(dev)
+
+            t_start = time.perf_counter()
+            out = self.track.jitted(*dev)
+            # Force completion with a small d2h read: on some TPU runtimes
+            # block_until_ready returns before the computation has drained.
+            np.asarray(out[2])
+            t_track = time.perf_counter()
+
+            if self._segmented:
+                xr, xi, conv, inf, pruned, steps, _found, _fp = out
+            else:
+                xr, xi, conv, inf, pruned, steps = out
+            res = tracker.TrackResult(
+                x=(np.asarray(xr) + 1j * np.asarray(xi)).astype(np.complex64),
+                converged=np.asarray(conv),
+                inf_fail=np.asarray(inf),
+                pruned=np.asarray(pruned),
+                num_steps=np.asarray(steps),
+            )
 
         stats = evl.collect_stats(res.x, res.converged, res.inf_fail, cfg.ransac)
 

@@ -45,6 +45,8 @@ def make_sharded_track_fn(
     mesh: Mesh,
     axis: str = "hyp",
     solve=linalg.solve_batched,
+    backend: str = "xla",
+    interpret: bool = False,
 ):
     """Build the multi-chip tracking function.
 
@@ -52,31 +54,49 @@ def make_sharded_track_fn(
     diff_params (B, P+1)) -> TrackResult, with B = hypotheses x tracks and
     the batch dim sharded over the mesh axis. B must divide evenly by the
     mesh size (pad hypotheses to a multiple of the device count).
+
+    backend "fused" runs the production Pallas kernel per shard (each chip
+    tracks its hypothesis block and exits independently); "xla" runs the
+    plain-JAX oracle tracker -- the robust choice for CPU-mesh dry runs.
     """
-    step_fn = tracker.make_step_fn(problem, cfg, solve)
-
-    def _local_track(x0_re, x0_im, tgt_re, tgt_im, diff_re, diff_im):
-        # Runs per device on its hypothesis block; local early exit.
-        x0 = jax.lax.complex(x0_re, x0_im)
-        tgt = jax.lax.complex(tgt_re, tgt_im)
-        diff = jax.lax.complex(diff_re, diff_im)
-        s0 = tracker.init_state(x0, cfg)
-
-        def cond(s):
-            return (s.step <= cfg.max_steps) & jnp.any(tracker._active(s, cfg))
-
-        def body(s):
-            return step_fn(s, tgt, diff)
-
-        s = jax.lax.while_loop(cond, body, s0)
-        return (
-            jnp.real(s.x),
-            jnp.imag(s.x),
-            tracker._is_converged(s.t, cfg),
-            s.inf_fail,
-            s.pruned,
-            s.num_steps,
+    if backend == "fused":
+        from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
+            fused,
         )
+
+        fused_track = fused.make_track_fn(
+            problem, cfg, tile=256, interpret=interpret
+        )
+
+        def _local_track(*planes):
+            return fused_track.jitted(*planes)
+    else:
+        step_fn = tracker.make_step_fn(problem, cfg, solve)
+
+        def _local_track(x0_re, x0_im, tgt_re, tgt_im, diff_re, diff_im):
+            # Runs per device on its hypothesis block; local early exit.
+            x0 = jax.lax.complex(x0_re, x0_im)
+            tgt = jax.lax.complex(tgt_re, tgt_im)
+            diff = jax.lax.complex(diff_re, diff_im)
+            s0 = tracker.init_state(x0, cfg)
+
+            def cond(s):
+                return (s.step <= cfg.max_steps) & jnp.any(
+                    tracker._active(s, cfg)
+                )
+
+            def body(s):
+                return step_fn(s, tgt, diff)
+
+            s = jax.lax.while_loop(cond, body, s0)
+            return (
+                jnp.real(s.x),
+                jnp.imag(s.x),
+                tracker._is_converged(s.t, cfg),
+                s.inf_fail,
+                s.pruned,
+                s.num_steps,
+            )
 
     spec = P(axis)
     sharded = jax.shard_map(

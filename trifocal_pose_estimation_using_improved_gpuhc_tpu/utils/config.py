@@ -77,6 +77,12 @@ class RansacConfig:
     reproj_inlier_thresh_px: float = 2.0  # REPROJ_ERROR_INLIER_THRESH
     pass_inlier_support_ratio: float = 0.90  # PASS_RANSAC_INLIER_SUPPORT_RATIO
     abort_by_good_sol: bool = False      # Abort_RANSAC_by_Good_Sol (yaml:28)
+    # Hypotheses tracked per launch under abort mode. The reference's abort
+    # saves time because CUDA serialises excess blocks, so late blocks see
+    # the flag before doing work (...TrunRANSAC.cu:152); the TPU analogue
+    # is explicit: hypotheses run in chunks and remaining chunks are
+    # skipped once a chunk reports a >=90%-support pose.
+    abort_chunk: int = 16
     feed_random_seed: bool = False       # FEED_RANDOM_SEED: false => seed = round idx
     test_ransac_times: int = 1           # TEST_RANSAC_TIMES
     dataset: str = "Synthetic"           # RANSAC_Dataset (yaml:31)
