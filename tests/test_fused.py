@@ -1,0 +1,169 @@
+"""Fused Pallas kernel parity vs the plain-JAX oracle (interpret mode).
+
+The kernel is the production TPU path; on the CPU test backend it runs
+through the Pallas interpreter, so these tests validate the kernel MATH
+(evaluator, structured solve, step semantics), not Mosaic lowering -- the
+TPU compile path is exercised by bench.py / the CLI on hardware.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
+    fused,
+    ransac,
+    tracker,
+)
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import data_io
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+    ransac_data_dir,
+)
+
+_TR = 32          # paths
+_STEPS = 12       # HC steps: enough for depth pruning + dt adaptation paths
+_TILE = 32
+
+
+@pytest.fixture(scope="module")
+def workload(cfg, problem):
+    view = data_io.load_ransac_view(ransac_data_dir(cfg), 0)
+    samples = ransac.sample_edgel_triplets(0, view.edge_locations.shape[0], 1)
+    tgt = ransac.build_target_params(
+        view.edge_locations, view.edge_tangents, samples
+    )
+    tgt_b = np.repeat(tgt, _TR, axis=0)
+    diff_b = tgt_b - problem.start_params
+    x0 = np.asarray(problem.start_sols)[:_TR]
+    return x0, tgt_b, diff_b, view
+
+
+@pytest.fixture(scope="module")
+def hc(cfg):
+    return dataclasses.replace(cfg.hc, max_steps=_STEPS, segment_steps=4)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(problem, hc, workload):
+    x0, tgt_b, diff_b, _ = workload
+    oracle = tracker.make_track_fn(problem, hc)
+    return oracle(x0, tgt_b, diff_b)
+
+
+def test_eval_solve_against_factored_oracle(problem):
+    """One eval+solve inside the kernel == eval_all_factored + np solve."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import eval as ev
+
+    c = fused.FusedConstants.build(problem)
+    T, n, width = 8, 30, 32
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((T, n)) + 1j * rng.standard_normal((T, n))).astype(
+        np.complex64
+    )
+    tval = 0.37
+    tgt = (rng.standard_normal((T, 34)) + 1j * rng.standard_normal((T, 34))).astype(
+        np.complex64
+    )
+    tgt[:, 33] = 1.0
+    diff = tgt - problem.start_params
+
+    # Oracle: factored evaluator + dense numpy solve.
+    p = ev.param_homotopy(
+        jnp.full((T,), tval, jnp.float32), problem.start_params, jnp.asarray(tgt)
+    )
+    hx_o, h_o, mht_o = ev.eval_all_factored(
+        problem, jnp.asarray(x), p, jnp.asarray(diff), need_h=True, need_ht=True
+    )
+    k_o = np.stack(
+        [np.linalg.solve(np.asarray(hx_o)[i], np.asarray(mht_o)[i]) for i in range(T)]
+    )
+
+    # Kernel: one RK-style eval+solve on the same inputs.
+    perm = np.asarray(c.perm)
+
+    def kernel(xr, xi, apr, api, bpr, bpi, cpr, cpi,
+               ohx23, ohx2g, ohx3g, ohq2, ohq3, chx, cht, dxr_o, dxi_o,
+               m_re, m_im, sv_re, sv_im, used, ag2, ag3):
+        consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:])
+        for i, (a, b) in enumerate(((apr, api), (bpr, bpi), (cpr, cpi))):
+            wide = jnp.concatenate([a[:], b[:]], axis=1)
+            ag2[i] = fused._dot(ohq2[:], wide)
+            ag3[i] = fused._dot(ohq3[:], wide)
+        ag2v = [ag2[i] for i in range(3)]
+        ag3v = [ag3[i] for i in range(3)]
+        ones = jnp.ones((1, T), jnp.float32)
+        zeros = jnp.zeros((1, T), jnp.float32)
+        xp_w = jnp.concatenate(
+            [jnp.concatenate([xr[:], ones], 0),
+             jnp.concatenate([xi[:], zeros], 0)], axis=1
+        )
+        t_w = jnp.full((1, 2 * T), tval, jnp.float32)
+        hx, h, mht = fused._eval_core(
+            c, consts, ag2v, ag3v, xp_w, t_w, False, True, T
+        )
+        fused._assemble(c, m_re, m_im, hx, mht, T)
+        dr, di = fused._solve(c, m_re, m_im, sv_re, sv_im, used, T)
+        dxr_o[:] = dr
+        dxi_o[:] = di
+
+    coefs = fused.build_pair_coefs(
+        problem, jnp.asarray(diff.real), jnp.asarray(diff.imag), T
+    )
+    xb = x.T[perm]
+    gc = [jnp.asarray(a) for a in (
+        c.ohx23, c.ohx2g, c.ohx3g, c.ohq2, c.ohq3, c.chx, c.cht)]
+    dr, di = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, T), jnp.float32),) * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 15,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        scratch_shapes=[
+            pltpu.VMEM((n, width, T), jnp.float32),
+            pltpu.VMEM((n, width, T), jnp.float32),
+            pltpu.VMEM((n, width, T), jnp.float32),
+            pltpu.VMEM((n, width, T), jnp.float32),
+            pltpu.VMEM((n, T), jnp.float32),
+            pltpu.VMEM((3, c.k2, 2 * T), jnp.float32),
+            pltpu.VMEM((3, c.k3, 2 * T), jnp.float32),
+        ],
+        interpret=True,
+    )(xb.real.astype(np.float32), xb.imag.astype(np.float32), *coefs, *gc)
+    inv = np.argsort(perm)
+    k_f = (np.asarray(dr) + 1j * np.asarray(di))[inv].T
+    np.testing.assert_allclose(k_f, k_o, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_fused_tracker_matches_oracle(problem, hc, workload, oracle_result):
+    x0, tgt_b, diff_b, _ = workload
+    fast = fused.make_track_fn(problem, hc, tile=_TILE, interpret=True)
+    rf = fast(x0, tgt_b, diff_b)
+    ro = oracle_result
+    assert (rf.num_steps == ro.num_steps).all()
+    assert (rf.converged == ro.converged).all()
+    assert (rf.pruned == ro.pruned).all()
+    assert (rf.inf_fail == ro.inf_fail).all()
+    rel = np.abs(rf.x - ro.x).max() / max(np.abs(ro.x).max(), 1.0)
+    assert rel < 1e-3
+
+
+@pytest.mark.slow
+def test_segmented_matches_oracle(cfg, problem, hc, workload, oracle_result):
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import segmented
+
+    x0, tgt_b, diff_b, _ = workload
+    seg = segmented.make_segmented_track_fn(
+        problem, hc, cfg.ransac, tile=_TILE, interpret=True
+    )
+    rs = seg(x0, tgt_b, diff_b)
+    ro = oracle_result
+    assert (rs.track.num_steps == ro.num_steps).all()
+    assert (rs.track.converged == ro.converged).all()
+    assert (rs.track.pruned == ro.pruned).all()
+    assert rs.found_path == -1  # abort disabled in the default config

@@ -810,19 +810,21 @@ def build_kernel_caller(
     return run
 
 
-def build_pair_coefs(problem: TrifocalProblem, diff_re, diff_im, Bp: int):
+def build_pair_coefs(problem: TrifocalProblem, diff_re, diff_im, Bp: int,
+                     tgt_re=None, tgt_im=None):
     """Per-path quadratic pair-product coefficients (A, B, C), batch-last.
 
     p(t) = start + t*diff, so P_q(t) = (s_a + t d_a)(s_b + t d_b)
     = A t^2 + B t + C with A = d_a d_b, B = s_a d_b + s_b d_a,
     C = s_a s_b.  diff_*: (B, P+1) planes; returns 6 arrays (Q, Bp).
+
+    The start system is derived per path as target - diff when target
+    planes are given (monodromy legs track between arbitrary parameter
+    points); otherwise the problem's static start parameters are used.
     """
     f = problem.factored
     pp_a = np.asarray(f.pp_a)
     pp_b = np.asarray(f.pp_b)
-    sp = np.asarray(problem.start_params)
-    sa = sp[pp_a]
-    sb = sp[pp_b]
     q = len(pp_a)
     B = diff_re.shape[0]
 
@@ -837,19 +839,23 @@ def build_pair_coefs(problem: TrifocalProblem, diff_re, diff_im, Bp: int):
     da_im = padb(diff_im[:, pp_a])
     db_re = padb(diff_re[:, pp_b])
     db_im = padb(diff_im[:, pp_b])
-    sa_re = sa.real[:, None]
-    sa_im = sa.imag[:, None]
-    sb_re = sb.real[:, None]
-    sb_im = sb.imag[:, None]
+    if tgt_re is None:
+        sp = np.asarray(problem.start_params)
+        sa_re = sp.real[pp_a][:, None]
+        sa_im = sp.imag[pp_a][:, None]
+        sb_re = sp.real[pp_b][:, None]
+        sb_im = sp.imag[pp_b][:, None]
+    else:
+        sa_re = padb(tgt_re[:, pp_a]) - da_re
+        sa_im = padb(tgt_im[:, pp_a]) - da_im
+        sb_re = padb(tgt_re[:, pp_b]) - db_re
+        sb_im = padb(tgt_im[:, pp_b]) - db_im
     apr, api = _cmul(da_re, da_im, db_re, db_im)
     bpr = sa_re * db_re - sa_im * db_im + sb_re * da_re - sb_im * da_im
     bpi = sa_re * db_im + sa_im * db_re + sb_re * da_im + sb_im * da_re
-    cpr = jnp.broadcast_to((sa * sb).real[:, None], (q, Bp)).astype(
-        jnp.float32
-    )
-    cpi = jnp.broadcast_to((sa * sb).imag[:, None], (q, Bp)).astype(
-        jnp.float32
-    )
+    cr, ci = _cmul(sa_re, sa_im, sb_re, sb_im)
+    cpr = jnp.broadcast_to(cr, (q, Bp)).astype(jnp.float32)
+    cpi = jnp.broadcast_to(ci, (q, Bp)).astype(jnp.float32)
     return (apr, api, bpr, bpi, cpr, cpi)
 
 
@@ -914,12 +920,17 @@ def make_track_fn(
     cfg: HCConfig,
     tile: int = 256,
     interpret: bool = False,
+    dynamic_start: bool = False,
 ):
     """Build the fused path-tracking function (ops/tracker.py-compatible).
 
     Returned ``track(x0, target_params, diff_params) -> TrackResult`` plus
     ``track.jitted`` taking/returning f32 planes, batch-first -- the same
     contract as tracker.make_track_fn so the engine can swap backends.
+
+    dynamic_start: derive each path's start system as target - diff instead
+    of the problem's static start parameters -- used by the monodromy
+    generator to track between arbitrary parameter points.
     """
     c = FusedConstants.build(problem)
     run = build_kernel_caller(
@@ -941,7 +952,12 @@ def make_track_fn(
                 )
             return a.T
 
-        coefs = build_pair_coefs(problem, diff_re, diff_im, Bp)
+        if dynamic_start:
+            coefs = build_pair_coefs(
+                problem, diff_re, diff_im, Bp, tgt_re, tgt_im
+            )
+        else:
+            coefs = build_pair_coefs(problem, diff_re, diff_im, Bp)
         x_re = padb(x0_re)[perm]   # permuted variable order, batch-last
         x_im = padb(x0_im)[perm]
         state = (x_re, x_im, x_re, x_im, init_flags(cfg, Bp))

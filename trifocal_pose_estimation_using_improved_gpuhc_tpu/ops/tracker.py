@@ -102,14 +102,21 @@ def make_step_fn(
     problem: TrifocalProblem,
     cfg: HCConfig,
     solve: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = linalg.solve_batched,
+    dynamic_start: bool = False,
 ) -> Callable[[TrackerState, jnp.ndarray, jnp.ndarray], TrackerState]:
     """Build one masked HC step over the whole path batch.
 
     target_params / diff_params: (B, P+1) complex64 per path.
+    dynamic_start: derive each path's start system as target - diff
+    (monodromy legs) instead of the problem's static start parameters.
     """
 
     def evaluate(x, t, target_params, diff_params, need_h, need_ht):
-        p = ev.param_homotopy(t, problem.start_params, target_params)
+        start = (
+            target_params - diff_params if dynamic_start
+            else problem.start_params
+        )
+        p = ev.param_homotopy(t, start, target_params)
         return ev.eval_all_factored(
             problem, x, p, diff_params, need_h=need_h, need_ht=need_ht
         )
@@ -164,7 +171,11 @@ def make_step_fn(
         x_pred = x0 + dtc / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
         # --- Newton corrector (:216-250), param homotopy frozen at t_c ---
-        p_corr = ev.param_homotopy(t_c, problem.start_params, target_params)
+        start = (
+            target_params - diff_params if dynamic_start
+            else problem.start_params
+        )
+        p_corr = ev.param_homotopy(t_c, start, target_params)
 
         def corr_body(_, carry):
             x, success, inf, done = carry
@@ -237,7 +248,8 @@ def make_step_fn(
     return step_fn
 
 
-def make_track_fn(problem: TrifocalProblem, cfg: HCConfig, solve=linalg.solve_batched):
+def make_track_fn(problem: TrifocalProblem, cfg: HCConfig, solve=linalg.solve_batched,
+                  dynamic_start: bool = False):
     """Build the jitted path-tracking function for a problem.
 
     Returned fn(x0 (B, V) c64, target_params (B, P+1), diff_params (B, P+1))
@@ -249,7 +261,7 @@ def make_track_fn(problem: TrifocalProblem, cfg: HCConfig, solve=linalg.solve_ba
     the natural TPU layout anyway; complex64 is used freely *inside* the
     compiled program where XLA decomposes it.
     """
-    step_fn = make_step_fn(problem, cfg, solve)
+    step_fn = make_step_fn(problem, cfg, solve, dynamic_start=dynamic_start)
 
     @jax.jit
     def _track_planes(x0_re, x0_im, tgt_re, tgt_im, diff_re, diff_im):
