@@ -38,6 +38,9 @@ def main(argv=None) -> int:
                          ">=90%% inlier support is found on-device")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--output-dir", default="Output_Write_Files")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the timed "
+                         "rounds into DIR (view with tensorboard/xprof)")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -73,29 +76,37 @@ def main(argv=None) -> int:
     view0 = engine.load_view(args.start_view)
     engine.run_round(view0, seed=0, num_hypotheses=args.hypotheses)  # compile
 
-    for vi in range(args.start_view, args.start_view + args.views):
-        view = engine.load_view(vi)
-        for ti in range(args.times):
-            rr = engine.run_round(view, seed=ti, num_hypotheses=args.hypotheses)
-            timings.append(rr.track_ms)
-            all_stats.append(rr.stats)
-            if rr.found_pose:
-                found_count += 1
-            pe = rr.pose_errors
-            status = "FOUND" if rr.found_pose else "no-pass"
-            line = (
-                f"view {vi:03d} round {ti}: track {rr.track_ms:8.2f} ms, "
-                f"conv {rr.stats.num_converged}, cand {rr.num_candidates}, "
-                f"support {rr.best_support21}/{rr.best_support31} of {rr.num_edgels} "
-                f"[{status}]"
-            )
-            if pe is not None:
-                line += (
-                    f" rot ({pe.rot21:.4f}, {pe.rot31:.4f})"
-                    f" transl ({pe.transl21:.4f}, {pe.transl31:.4f})"
+    import contextlib
+
+    prof_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof_ctx = jax.profiler.trace(args.profile)
+    with prof_ctx:
+        for vi in range(args.start_view, args.start_view + args.views):
+            view = engine.load_view(vi)
+            for ti in range(args.times):
+                rr = engine.run_round(view, seed=ti, num_hypotheses=args.hypotheses)
+                timings.append(rr.track_ms)
+                all_stats.append(rr.stats)
+                if rr.found_pose:
+                    found_count += 1
+                pe = rr.pose_errors
+                status = "FOUND" if rr.found_pose else "no-pass"
+                line = (
+                    f"view {vi:03d} round {ti}: track {rr.track_ms:8.2f} ms, "
+                    f"conv {rr.stats.num_converged}, cand {rr.num_candidates}, "
+                    f"support {rr.best_support21}/{rr.best_support31} of {rr.num_edgels} "
+                    f"[{status}]"
                 )
-                err_lines.append(pe)
-            print(line)
+                if pe is not None:
+                    line += (
+                        f" rot ({pe.rot21:.4f}, {pe.rot31:.4f})"
+                        f" transl ({pe.transl21:.4f}, {pe.transl31:.4f})"
+                    )
+                    err_lines.append(pe)
+                print(line)
 
     ts = evl.timing_summary(timings)
     n_rounds = len(timings)

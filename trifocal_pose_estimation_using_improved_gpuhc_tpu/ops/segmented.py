@@ -139,9 +139,15 @@ def make_segmented_track_fn(
         found_path = jnp.where(found, order[sidx[first]], -1)
         return found, found_path, scored
 
-    def _compact(arrays, active):
-        """Stable-partition active paths to the front; arrays batch-last."""
-        order_idx = jnp.argsort(~active, stable=True)
+    def _compact(arrays, active, t):
+        """Pack active paths to the front, ordered by tracking progress.
+
+        Dead paths go last (their tiles skip whole segments); among the
+        living, higher-t paths group together so whole tiles hit their
+        in-kernel early exit mid-segment instead of idling as masked lanes.
+        """
+        key = jnp.where(active, 1.0 - t, 2.0)
+        order_idx = jnp.argsort(key, stable=True)
         return [jnp.take(a, order_idx, axis=1) for a in arrays], order_idx
 
     @jax.jit
@@ -171,10 +177,11 @@ def make_segmented_track_fn(
         scored = jnp.zeros((Bp,), jnp.float32)
         found = jnp.array(False)
         found_path = jnp.array(-1, jnp.int32)
+        last_n = jnp.array(Bp, jnp.float32)  # actives at last compaction
 
         def cond(carry):
             (si, x_re, x_im, xl_re, xl_im, fl, coefs, order, scored,
-             found, found_path) = carry
+             found, found_path, last_n) = carry
             any_active = jnp.any(_active(fl))
             keep = any_active & (si < n_segments)
             if abort:
@@ -183,7 +190,7 @@ def make_segmented_track_fn(
 
         def body(carry):
             (si, x_re, x_im, xl_re, xl_im, fl, coefs, order, scored,
-             found, found_path) = carry
+             found, found_path, last_n) = carry
             remaining = jnp.minimum(
                 jnp.int32(cfg.max_steps + 1) - si.astype(jnp.int32) * seg,
                 seg,
@@ -199,21 +206,25 @@ def make_segmented_track_fn(
                 found_path = jnp.where(found, found_path, fp2)
                 found = found | f2
             if cfg.compact_survivors:
+                # Unconditionally: skipping the pack when few paths died
+                # was measured slower -- masked dead lanes accumulate faster
+                # than the ~11 ms the batched lane gathers cost.
                 arrays = [x_re, x_im, xl_re, xl_im, fl] + coefs + [
                     order[None, :], scored[None, :]
                 ]
-                arrays, _ = _compact(arrays, _active(fl))
+                arrays, _ = _compact(arrays, _active(fl), fl[fused._F_T])
                 (x_re, x_im, xl_re, xl_im, fl) = arrays[:5]
                 coefs = arrays[5:11]
                 order = arrays[11][0]
                 scored = arrays[12][0]
             return (si + 1, x_re, x_im, xl_re, xl_im, fl, coefs, order,
-                    scored, found, found_path)
+                    scored, found, found_path, last_n)
 
         carry = (jnp.array(0), x_re, x_im, x_re, x_im, fl, coefs, order,
-                 scored, found, found_path)
+                 scored, found, found_path, last_n)
         carry = jax.lax.while_loop(cond, body, carry)
-        (_, x_re, x_im, _, _, fl, _, order, _, found, found_path) = carry
+        (_, x_re, x_im, _, _, fl, _, order, _, found, found_path,
+         _) = carry
 
         # Undo compaction, drop padding, restore variable order.
         unperm = jnp.argsort(order)
