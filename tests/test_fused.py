@@ -89,7 +89,7 @@ def test_eval_solve_against_factored_oracle(problem):
 
     def kernel(xr, xi, apr, api, bpr, bpi, cpr, cpi,
                ohx23, ohx2g, ohx3g, ohq2, ohq3, chx, cht, dxr_o, dxi_o,
-               m_re, m_im, sv_re, sv_im, used, ag2, ag3):
+               m_sc, sv_re, sv_im, used, ag2, ag3):
         consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:])
         for i, (a, b) in enumerate(((apr, api), (bpr, bpi), (cpr, cpi))):
             wide = jnp.concatenate([a[:], b[:]], axis=1)
@@ -107,8 +107,8 @@ def test_eval_solve_against_factored_oracle(problem):
         hx, h, mht = fused._eval_core(
             c, consts, ag2v, ag3v, xp_w, t_w, False, True, T
         )
-        fused._assemble(c, m_re, m_im, hx, mht, T)
-        dr, di = fused._solve(c, m_re, m_im, sv_re, sv_im, used, T)
+        fused._assemble(c, m_sc, hx, mht, T)
+        dr, di = fused._solve(c, m_sc, sv_re, sv_im, used, T)
         dxr_o[:] = dr
         dxi_o[:] = di
 
@@ -124,8 +124,7 @@ def test_eval_solve_against_factored_oracle(problem):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 15,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
         scratch_shapes=[
-            pltpu.VMEM((n, width, T), jnp.float32),
-            pltpu.VMEM((n, width, T), jnp.float32),
+            pltpu.VMEM((n, width, 2 * T), jnp.float32),
             pltpu.VMEM((n, width, T), jnp.float32),
             pltpu.VMEM((n, width, T), jnp.float32),
             pltpu.VMEM((n, T), jnp.float32),

@@ -172,13 +172,24 @@ class TrifocalPoseEngine:
             jax.block_until_ready(chunks)
 
             t_start = time.perf_counter()
+            # Speculative pipeline: dispatch chunk i+1 before reading chunk
+            # i's found flag, so the flag's d2h round trip overlaps the next
+            # chunk's compute (dispatch is async; a hit wastes at most one
+            # chunk of speculative work -- the reference wastes the same in
+            # blocks already resident when its flag flips).
+            t_track = None
             outs, done_chunks = [], 0
+            pending = self.track.jitted(*chunks[0])
             for ci in range(n_chunks):
-                out = self.track.jitted(*chunks[ci])
-                outs.append(out)
+                outs.append(pending)
                 done_chunks += 1
-                if bool(np.asarray(out[6])):
+                if ci + 1 < n_chunks:
+                    nxt = self.track.jitted(*chunks[ci + 1])
+                else:
+                    nxt = None
+                if bool(np.asarray(pending[6])):
                     break
+                pending = nxt
             t_track = time.perf_counter()
 
             def cat(i, fill):

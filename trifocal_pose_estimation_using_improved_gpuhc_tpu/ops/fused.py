@@ -288,31 +288,25 @@ def _eval_core(c: FusedConstants, consts, ag2, ag3, xp_w, t_w,
     return hx, h, mht
 
 
-def _assemble(c: FusedConstants, m_re, m_im, hx, rhs, T: int):
-    """Write the augmented system into the m scratch ref.
+def _assemble(c: FusedConstants, m, hx, rhs, T: int):
+    """Write the augmented system into the wide m scratch ref.
 
     Layout: rows = permuted equations, columns = [permuted vars | rhs |
-    pad].  Zeros + the rhs column are one bulk write; only the 170 true
-    nonzero runs are written individually (contiguous in both source and
-    destination by construction of the canonical nonzero order).
+    pad], lanes = [re | im] (so every nonzero run is ONE write -- the
+    per-plane version measured 7.5us per assembly, dominating the solve).
+    Zeros + the rhs column are one bulk write.
     """
     n = rhs.shape[0]
-    z = jnp.zeros((n, n, T), jnp.float32)
-    z1 = jnp.zeros((n, 1, T), jnp.float32)
-    # Plain slice then expand_dims: a combined [:, None, :T] index lowers
-    # to a lax.gather, which Mosaic cannot lower for this shape.
-    rhs_re = jnp.expand_dims(rhs[:, :T], 1)
-    rhs_im = jnp.expand_dims(rhs[:, T:], 1)
-    m_re[:] = jnp.concatenate([z, rhs_re, z1], axis=1)
-    m_im[:] = jnp.concatenate([z, rhs_im, z1], axis=1)
+    z = jnp.zeros((n, n, 2 * T), jnp.float32)
+    z1 = jnp.zeros((n, 1, 2 * T), jnp.float32)
+    m[:] = jnp.concatenate([z, jnp.expand_dims(rhs, 1), z1], axis=1)
     for rp, runs in enumerate(c.row_runs_v):
         for (src_lo, src_hi, dst) in runs:
             w = src_hi - src_lo
-            m_re[rp, dst:dst + w] = hx[src_lo:src_hi, :T]
-            m_im[rp, dst:dst + w] = hx[src_lo:src_hi, T:]
+            m[rp, dst:dst + w] = hx[src_lo:src_hi]
 
 
-def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int,
+def _solve(c: FusedConstants, m, sv_re, sv_im, used, T: int,
            save=None):
     """Structured partial-pivoted elimination + back-substitution.
 
@@ -331,17 +325,13 @@ def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int,
         nc = sum(hi - lo_r for lo_r, hi in runs)
         if len(runs) == 1:
             r0, r1 = runs[0]
-            Mre = m_re[r0:r1, lo:width]
-            Mim = m_im[r0:r1, lo:width]
+            Mw = m[r0:r1, lo:width]
             ure = used[r0:r1]
         else:
-            Mre = jnp.concatenate(
-                [m_re[a:b, lo:width] for a, b in runs], axis=0
-            )
-            Mim = jnp.concatenate(
-                [m_im[a:b, lo:width] for a, b in runs], axis=0
-            )
+            Mw = jnp.concatenate([m[a:b, lo:width] for a, b in runs], axis=0)
             ure = jnp.concatenate([used[a:b] for a, b in runs], axis=0)
+        Mre = Mw[:, :, :T]
+        Mim = Mw[:, :, T:]
         jcol = s - lo
         cr = Mre[:, jcol, :]
         ci = Mim[:, jcol, :]
@@ -374,11 +364,11 @@ def _solve(c: FusedConstants, m_re, m_im, sv_re, sv_im, used, T: int,
         new_im = Mim - (fr[:, None, :] * prow_im[None]
                         + fi[:, None, :] * prow_re[None])
         new_used = ure + oh
+        new_w = jnp.concatenate([new_re, new_im], axis=2)
         off = 0
         for a, b in runs:
             w_r = b - a
-            m_re[a:b, lo:width] = new_re[off:off + w_r]
-            m_im[a:b, lo:width] = new_im[off:off + w_r]
+            m[a:b, lo:width] = new_w[off:off + w_r]
             used[a:b] = new_used[off:off + w_r]
             off += w_r
 
@@ -475,9 +465,14 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int):
                apr, api, bpr, bpi, cpr, cpi,
                ohx23, ohx2g, ohx3g, ohq2, ohq3, chx, cht,
                xo_re, xo_im, xl_re, xl_im, flags,
-               m_re, m_im, sv_re, sv_im, used,
+               m_sc, sv_re, sv_im, used,
                ag2, ag3, cw_re, cw_im, cfl,
-               foh, ffr, ffi, rr_re, rr_im, cont):
+               *rkj_and_cont):
+        if cfg.rk_jacobian_reuse:
+            foh, ffr, ffi, rr_re, rr_im, cont = rkj_and_cont
+        else:
+            (cont,) = rkj_and_cont
+            foh = ffr = ffi = rr_re = rr_im = None
         consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:])
 
         # Hoisted pair-product quadratic coefficients, gathered to combos
@@ -531,9 +526,8 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int):
                     c, consts, ag2v, ag3v, xp_w, t_w, need_h, need_ht, T
                 )
                 rhs = h if need_h else mht
-                _assemble(c, m_re, m_im, hx, rhs, T)
-                return _solve(c, m_re, m_im, sv_re, sv_im, used, T,
-                              save=save)
+                _assemble(c, m_sc, hx, rhs, T)
+                return _solve(c, m_sc, sv_re, sv_im, used, T, save=save)
 
             def es_rhs(x, tt):
                 # Frozen-Jacobian stage: -Ht only, replay the saved
@@ -765,8 +759,7 @@ def build_kernel_caller(
             jax.ShapeDtypeStruct((8, Bp), jnp.float32),
         )
         scratch = [
-            pltpu.VMEM((n, width, tile), jnp.float32),  # m_re
-            pltpu.VMEM((n, width, tile), jnp.float32),  # m_im
+            pltpu.VMEM((n, width, 2 * tile), jnp.float32),  # m (wide planes)
             pltpu.VMEM((n, width, tile), jnp.float32),  # sv_re
             pltpu.VMEM((n, width, tile), jnp.float32),  # sv_im
             pltpu.VMEM((n, tile), jnp.float32),         # used
@@ -775,13 +768,18 @@ def build_kernel_caller(
             pltpu.VMEM((n, tile), jnp.float32),         # cw_re (corrector)
             pltpu.VMEM((n, tile), jnp.float32),         # cw_im
             pltpu.VMEM((3, tile), jnp.float32),         # cfl
-            pltpu.VMEM((n, n, tile), jnp.float32),      # foh (pivot onehots)
-            pltpu.VMEM((n, n, tile), jnp.float32),      # ffr (multipliers re)
-            pltpu.VMEM((n, n, tile), jnp.float32),      # ffi (multipliers im)
-            pltpu.VMEM((n, tile), jnp.float32),         # rr_re (rhs replay)
-            pltpu.VMEM((n, tile), jnp.float32),         # rr_im
-            pltpu.SMEM((1,), jnp.int32),                # cont
         ]
+        if cfg.rk_jacobian_reuse:
+            # Saved pivot one-hots + multipliers + rhs-replay workspace for
+            # the frozen-Jacobian ablation (ops/fused._resolve_rhs).
+            scratch += [
+                pltpu.VMEM((n, n, tile), jnp.float32),
+                pltpu.VMEM((n, n, tile), jnp.float32),
+                pltpu.VMEM((n, n, tile), jnp.float32),
+                pltpu.VMEM((n, tile), jnp.float32),
+                pltpu.VMEM((n, tile), jnp.float32),
+            ]
+        scratch += [pltpu.SMEM((1,), jnp.int32)]  # cont
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [_tile_spec(n)] * 4
