@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from trifocal_pose_estimation_using_improved_gpuhc_tpu.models.trifocal import (
     TrifocalProblem,
-    pad_params,
     pad_vars,
 )
 

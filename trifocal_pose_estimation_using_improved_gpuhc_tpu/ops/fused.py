@@ -39,7 +39,6 @@ line; see its docstring for the reference citations.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Tuple
 
 import jax

@@ -26,8 +26,6 @@ one jitted program; nothing returns to the host until tracking finishes.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import NamedTuple, Optional
 
 import jax

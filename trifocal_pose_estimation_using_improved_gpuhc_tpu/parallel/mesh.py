@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from trifocal_pose_estimation_using_improved_gpuhc_tpu.models.trifocal import (
     TrifocalProblem,
