@@ -175,11 +175,10 @@ def make_segmented_track_fn(
         scored = jnp.zeros((Bp,), jnp.float32)
         found = jnp.array(False)
         found_path = jnp.array(-1, jnp.int32)
-        last_n = jnp.array(Bp, jnp.float32)  # actives at last compaction
 
         def cond(carry):
             (si, x_re, x_im, xl_re, xl_im, fl, coefs, order, scored,
-             found, found_path, last_n) = carry
+             found, found_path) = carry
             any_active = jnp.any(_active(fl))
             keep = any_active & (si < n_segments)
             if abort:
@@ -188,7 +187,7 @@ def make_segmented_track_fn(
 
         def body(carry):
             (si, x_re, x_im, xl_re, xl_im, fl, coefs, order, scored,
-             found, found_path, last_n) = carry
+             found, found_path) = carry
             remaining = jnp.minimum(
                 jnp.int32(cfg.max_steps + 1) - si.astype(jnp.int32) * seg,
                 seg,
@@ -216,13 +215,12 @@ def make_segmented_track_fn(
                 order = arrays[11][0]
                 scored = arrays[12][0]
             return (si + 1, x_re, x_im, xl_re, xl_im, fl, coefs, order,
-                    scored, found, found_path, last_n)
+                    scored, found, found_path)
 
         carry = (jnp.array(0), x_re, x_im, x_re, x_im, fl, coefs, order,
-                 scored, found, found_path, last_n)
+                 scored, found, found_path)
         carry = jax.lax.while_loop(cond, body, carry)
-        (_, x_re, x_im, _, _, fl, _, order, _, found, found_path,
-         _) = carry
+        (_, x_re, x_im, _, _, fl, _, order, _, found, found_path) = carry
 
         # Undo compaction, drop padding, restore variable order.
         unperm = jnp.argsort(order)
