@@ -31,9 +31,20 @@ import os
 
 import numpy as np
 
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import native
+
+
+def _load_floats(path: str, cols: int) -> np.ndarray:
+    """Whitespace-numeric file -> (rows, cols) float64.
+
+    Uses the native strtod parser (native/fastio.c, the Data_Reader.cpp
+    equivalent) when a C compiler is available; numpy otherwise."""
+    a = native.parse_floats(path)
+    return a.reshape(-1, cols)
+
 
 def _load_complex(path: str) -> np.ndarray:
-    a = np.loadtxt(path, dtype=np.float64)
+    a = _load_floats(path, 2)
     return (a[:, 0] + 1j * a[:, 1]).astype(np.complex64)
 
 
@@ -60,9 +71,13 @@ def load_problem_data(
     assert start_params.shape[0] == 33 or start_params.shape[0] > 0
     sols = _load_complex(os.path.join(problem_dir, "start_sols.txt"))
     start_sols = sols.reshape(num_tracks, num_vars)
-    hx = np.loadtxt(os.path.join(problem_dir, "dHdx_indx.txt"), dtype=np.int32)
+    hx = native.parse_floats(
+        os.path.join(problem_dir, "dHdx_indx.txt")
+    ).astype(np.int32)
     hx_table = hx.reshape(num_vars, hx_terms, hx_parts, num_vars)
-    ht = np.loadtxt(os.path.join(problem_dir, "dHdt_indx.txt"), dtype=np.int32)
+    ht = native.parse_floats(
+        os.path.join(problem_dir, "dHdt_indx.txt")
+    ).astype(np.int32)
     ht_table = ht.reshape(ht_terms, ht_parts, num_vars)
     return ProblemData(start_params, start_sols, hx_table, ht_table)
 
@@ -82,15 +97,15 @@ def _padded_index(i: int) -> str:
 
 
 def load_intrinsic_matrix(dataset_dir: str) -> np.ndarray:
-    k = np.loadtxt(os.path.join(dataset_dir, "Intrinsic_Matrix.txt"), dtype=np.float64)
+    k = _load_floats(os.path.join(dataset_dir, "Intrinsic_Matrix.txt"), 3)
     return k.reshape(3, 3).astype(np.float32)
 
 
 def load_ransac_view(dataset_dir: str, view_index: int) -> RansacView:
     idx = _padded_index(view_index)
-    edgels = np.loadtxt(
+    edgels = _load_floats(
         os.path.join(dataset_dir, "Triplet_Edgels", f"Triplet_Edgels_{idx}.txt"),
-        dtype=np.float64,
+        12,
     ).astype(np.float32)
     # Columns: (x,y,tx,ty) x 3 views -> locations (x,y) x 3, tangents (tx,ty) x 3.
     locations = edgels[:, [0, 1, 4, 5, 8, 9]]
@@ -99,8 +114,8 @@ def load_ransac_view(dataset_dir: str, view_index: int) -> RansacView:
     # (Evaluations.hpp:114-115 splits the flat 12 floats as [0:9]=R, [9:12]=t).
     # Repack as the conventional (3, 4) [R | t].
     def _load_pose(subdir: str, stem: str) -> np.ndarray:
-        a = np.loadtxt(
-            os.path.join(dataset_dir, subdir, f"{stem}_{idx}.txt"), dtype=np.float64
+        a = native.parse_floats(
+            os.path.join(dataset_dir, subdir, f"{stem}_{idx}.txt")
         ).reshape(4, 3)
         return np.concatenate([a[:3, :], a[3, :][:, None]], axis=1).astype(np.float32)
 
