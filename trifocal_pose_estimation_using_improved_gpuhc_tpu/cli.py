@@ -38,6 +38,9 @@ def main(argv=None) -> int:
                          ">=90%% inlier support is found on-device")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--output-dir", default="Output_Write_Files")
+    ap.add_argument("--stream", action="store_true",
+                    help="streamed recovery: pipeline host prep/scoring of "
+                         "one view with device tracking of the next")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the timed "
                          "rounds into DIR (view with tensorboard/xprof)")
@@ -75,6 +78,20 @@ def main(argv=None) -> int:
     timings, all_stats, found_count, err_lines = [], [], 0, []
     view0 = engine.load_view(args.start_view)
     engine.run_round(view0, seed=0, num_hypotheses=args.hypotheses)  # compile
+
+    if args.stream:
+        vis = list(range(args.start_view, args.start_view + args.views))
+        results, vps = engine.run_stream(vis, num_hypotheses=args.hypotheses)
+        ok = sum(1 for r in results
+                 if r.pose_errors is not None and r.pose_errors.within(cfg.ransac))
+        print(f"[stream] {len(vis)} views at {vps:.2f} views/s; "
+              f"found {sum(r.found_pose for r in results)}/{len(vis)}; "
+              f"within GT tolerance {ok}/{len(vis)}")
+        evl.write_sols_statistics(
+            os.path.join(args.output_dir, "GPU_Sols_Statistics.txt"),
+            [r.stats for r in results],
+        )
+        return 0
 
     import contextlib
 

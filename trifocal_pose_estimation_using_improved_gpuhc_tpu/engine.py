@@ -233,42 +233,8 @@ class TrifocalPoseEngine:
                 num_steps=np.asarray(steps),
             )
 
-        stats = evl.collect_stats(res.x, res.converged, res.inf_fail, cfg.ransac)
-
-        # Candidate gate (Evaluations.cpp:330-343): converged, rotation
-        # components real within IMAG_PART_TOL, all depths non-negative.
-        cand = (
-            res.converged
-            & (np.abs(res.x[:, 24:30].imag) < cfg.ransac.imag_part_tol).all(axis=1)
-            & (res.x[:, 0:8].real >= 0).all(axis=1)
-        )
-        cand_idx = np.nonzero(cand)[0]
-        n_cand = int(cand_idx.size)
-
-        best21 = best31 = 0
-        found = False
-        pose_errors = None
-        best_pose = None
-        if n_cand:
-            xs = _pad_to(res.x[cand_idx].real.astype(np.float32), _CANDIDATE_CAP)
-            r21, r31, t21, t31 = map(np.asarray, self._pose_fn(xs))
-            edgels = _pad_to(
-                view.edge_locations, _EDGEL_PAD * -(-n_edgels // _EDGEL_PAD), 1e3
-            )
-            n21, n31 = self._score_fn(
-                r21, r31, t21, t31, edgels, self._intrinsics
-            )
-            n21 = np.asarray(n21)[: min(n_cand, _CANDIDATE_CAP)]
-            n31 = np.asarray(n31)[: min(n_cand, _CANDIDATE_CAP)]
-            # Maximal joint support selection (intent of Evaluations.cpp:382-504).
-            bi = int(np.argmax(np.minimum(n21, n31)))
-            best21, best31 = int(n21[bi]), int(n31[bi])
-            ratio = cfg.ransac.pass_inlier_support_ratio
-            found = best21 >= ratio * n_edgels and best31 >= ratio * n_edgels
-            best_pose = (r21[bi], r31[bi], t21[bi], t31[bi])
-            pose_errors = evl.measure_pose_error(
-                r21[bi], r31[bi], t21[bi], t31[bi], view.gt_pose21, view.gt_pose31
-            )
+        (stats, n_cand, best21, best31, found, best_pose,
+         pose_errors) = self._score_round(view, res)
         t_end = time.perf_counter()
 
         rr = RoundResult(
@@ -287,6 +253,137 @@ class TrifocalPoseEngine:
         if collect_solutions:
             rr.solutions = res  # type: ignore[attr-defined]
         return rr
+
+    def _score_round(self, view: data_io.RansacView, res: tracker.TrackResult):
+        """Candidate gating + inlier scoring + best-pose selection.
+
+        Candidate gate (Evaluations.cpp:330-343): converged, rotation
+        components real within IMAG_PART_TOL, all depths non-negative;
+        then maximal joint support selection (Evaluations.cpp:382-504).
+        """
+        cfg = self.cfg
+        n_edgels = view.edge_locations.shape[0]
+        stats = evl.collect_stats(
+            res.x, res.converged, res.inf_fail, cfg.ransac
+        )
+        cand = (
+            res.converged
+            & (np.abs(res.x[:, 24:30].imag)
+               < cfg.ransac.imag_part_tol).all(axis=1)
+            & (res.x[:, 0:8].real >= 0).all(axis=1)
+        )
+        cand_idx = np.nonzero(cand)[0]
+        n_cand = int(cand_idx.size)
+        best21 = best31 = 0
+        found = False
+        pose_errors = None
+        best_pose = None
+        if n_cand:
+            xs = _pad_to(
+                res.x[cand_idx].real.astype(np.float32), _CANDIDATE_CAP
+            )
+            r21, r31, t21, t31 = map(np.asarray, self._pose_fn(xs))
+            edgels = _pad_to(
+                view.edge_locations,
+                _EDGEL_PAD * -(-n_edgels // _EDGEL_PAD), 1e3,
+            )
+            n21, n31 = self._score_fn(
+                r21, r31, t21, t31, edgels, self._intrinsics
+            )
+            n21 = np.asarray(n21)[: min(n_cand, _CANDIDATE_CAP)]
+            n31 = np.asarray(n31)[: min(n_cand, _CANDIDATE_CAP)]
+            bi = int(np.argmax(np.minimum(n21, n31)))
+            best21, best31 = int(n21[bi]), int(n31[bi])
+            ratio = cfg.ransac.pass_inlier_support_ratio
+            found = (best21 >= ratio * n_edgels
+                     and best31 >= ratio * n_edgels)
+            best_pose = (r21[bi], r31[bi], t21[bi], t31[bi])
+            pose_errors = evl.measure_pose_error(
+                r21[bi], r31[bi], t21[bi], t31[bi],
+                view.gt_pose21, view.gt_pose31,
+            )
+        return stats, n_cand, best21, best31, found, best_pose, pose_errors
+
+    def _prep_host_args(self, view, seed: int, H: int):
+        T = self.problem.num_tracks
+        n_edgels = view.edge_locations.shape[0]
+        samples = ransac.sample_edgel_triplets(seed, n_edgels, H)
+        tgt = ransac.build_target_params(
+            view.edge_locations, view.edge_tangents, samples
+        )
+        tgt_b = np.repeat(tgt, T, axis=0)
+        diff_b = tgt_b - self.problem.start_params
+        x0 = np.tile(np.asarray(self.problem.start_sols), (H, 1))
+        f32 = np.float32
+        host_args = [
+            x0.real.astype(f32), x0.imag.astype(f32),
+            tgt_b.real.astype(f32), tgt_b.imag.astype(f32),
+            diff_b.real.astype(f32), diff_b.imag.astype(f32),
+        ]
+        if self._segmented:
+            host_args += [
+                _pad_to(view.edge_locations.astype(f32),
+                        _EDGEL_PAD * -(-n_edgels // _EDGEL_PAD), 1e3),
+                self._intrinsics.astype(f32),
+                np.float32(n_edgels),
+            ]
+        return host_args
+
+    def _out_to_result(self, out) -> tracker.TrackResult:
+        xr, xi, conv, inf, pruned, steps = out[:6]
+        return tracker.TrackResult(
+            x=(np.asarray(xr) + 1j * np.asarray(xi)).astype(np.complex64),
+            converged=np.asarray(conv),
+            inf_fail=np.asarray(inf),
+            pruned=np.asarray(pruned),
+            num_steps=np.asarray(steps),
+        )
+
+    def run_stream(self, view_indices, num_hypotheses: Optional[int] = None,
+                   seed: int = 0):
+        """Streamed tracking-loss recovery over a sequence of views.
+
+        The production serving loop: while the device tracks view i, the
+        host loads + samples + stages view i+1 and dispatches it behind the
+        current work, then scores view i -- host prep and d2h of one view
+        overlap device tracking of the next. Returns (results, views/s).
+        (The reference processes views strictly serially,
+        cmd/magmaHC-main.cpp:24-75.)
+        """
+        cfg = self.cfg
+        H = num_hypotheses or cfg.ransac.num_iterations
+        views = [self.load_view(vi) for vi in view_indices[:1]]
+
+        def dispatch(view, s):
+            dev = [jax.device_put(a)
+                   for a in self._prep_host_args(view, s, H)]
+            return self.track.jitted(*dev)
+
+        t0 = time.perf_counter()
+        results = []
+        pending = dispatch(views[0], seed)
+        for i, vi in enumerate(view_indices):
+            view = views[i]
+            if i + 1 < len(view_indices):
+                views.append(self.load_view(view_indices[i + 1]))
+                nxt = dispatch(views[i + 1], seed)
+            else:
+                nxt = None
+            res = self._out_to_result(pending)  # d2h sync for view i
+            (stats, n_cand, b21, b31, found, pose, perr) = self._score_round(
+                view, res
+            )
+            results.append(RoundResult(
+                stats=stats, track_ms=0.0, total_ms=0.0,
+                num_candidates=n_cand, best_support21=b21,
+                best_support31=b31,
+                num_edgels=view.edge_locations.shape[0],
+                found_pose=found, pose_errors=perr, best_pose=pose,
+                num_steps=res.num_steps,
+            ))
+            pending = nxt
+        total_s = time.perf_counter() - t0
+        return results, len(view_indices) / total_s
 
     def warmup(self, num_hypotheses: Optional[int] = None) -> None:
         """Compile the tracking/scoring programs on a tiny synthetic round."""
