@@ -82,7 +82,7 @@ class RansacConfig:
     # the flag before doing work (...TrunRANSAC.cu:152); the TPU analogue
     # is explicit: hypotheses run in chunks and remaining chunks are
     # skipped once a chunk reports a >=90%-support pose.
-    abort_chunk: int = 16
+    abort_chunk: int = 8
     feed_random_seed: bool = False       # FEED_RANDOM_SEED: false => seed = round idx
     test_ransac_times: int = 1           # TEST_RANSAC_TIMES
     dataset: str = "Synthetic"           # RANSAC_Dataset (yaml:31)
