@@ -69,3 +69,33 @@ def test_structured_solve_random_patterns():
             sch.solve_numpy(s, a, b), np.linalg.solve(a, b),
             rtol=1e-8, atol=1e-9,
         )
+
+
+def test_structured_solve_ill_conditioned(problem):
+    """End-zone-like systems: restricted pivoting stays stable.
+
+    The HC end zone (t -> 1) drives the Jacobian toward singularity; the
+    static schedule must degrade like dense partial pivoting, not blow up.
+    """
+    pat = _trifocal_pattern(problem)
+    s = sch.build_schedule(pat)
+    rng = np.random.default_rng(11)
+    for scale in (1e-4, 1e-6):
+        a = np.where(
+            pat,
+            rng.standard_normal((30, 30)) + 1j * rng.standard_normal((30, 30)),
+            0.0,
+        )
+        # Make one pivot group nearly dependent (rank-deficient direction).
+        a[1] = a[0] * (1.0 + scale) + scale * (
+            rng.standard_normal(30) * pat[1]
+        )
+        a = np.where(pat & (np.abs(a) > 0), a, np.where(pat, scale, 0))
+        b = rng.standard_normal(30) + 1j * rng.standard_normal(30)
+        x = sch.solve_numpy(s, a, b)
+        # Compare residuals, not solutions: both solvers face the same
+        # conditioning; the schedule must not be categorically worse.
+        r_struct = np.abs(a @ x - b).max()
+        x_np = np.linalg.solve(a, b)
+        r_np = np.abs(a @ x_np - b).max()
+        assert r_struct < max(1e3 * r_np, 1e-6), (scale, r_struct, r_np)

@@ -58,7 +58,6 @@ class HCConfig:
     # convergence statistics) can shift. Our strategy beyond the
     # reference's four (README.md:5); validated against the exact-RK4 mode.
     rk_jacobian_reuse: bool = False
-    reuse_factorization_refine: int = 0  # 0 = exact solve every stage (reference parity)
     # Tracker backend: "fused" = Pallas fused kernel (ops/fused.py, the
     # production path), "xla" = plain-JAX masked while_loop (ops/tracker.py,
     # the oracle / CPU-HC equivalent).
