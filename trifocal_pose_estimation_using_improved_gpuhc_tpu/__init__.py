@@ -19,8 +19,20 @@ Layering (bottom-up):
 __version__ = "0.1.0"
 
 from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (  # noqa: F401
+    EngineConfig,
     HCConfig,
     ProblemConfig,
     RansacConfig,
     load_problem_yaml,
 )
+
+
+def __getattr__(name):
+    # Lazy: importing the engine pulls in jax; keep bare package import light.
+    if name == "TrifocalPoseEngine":
+        from trifocal_pose_estimation_using_improved_gpuhc_tpu.engine import (
+            TrifocalPoseEngine,
+        )
+
+        return TrifocalPoseEngine
+    raise AttributeError(name)
