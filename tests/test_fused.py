@@ -88,15 +88,12 @@ def test_eval_solve_against_factored_oracle(problem):
     perm = np.asarray(c.perm)
 
     def kernel(xr, xi, apr, api, bpr, bpi, cpr, cpi,
-               ohx23, ohx2g, ohx3g, ohq2, ohq3, chx, cht, dxr_o, dxi_o,
-               m_sc, sv_re, sv_im, used, ag2, ag3):
-        consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:])
+               ohx23, ohx2g, ohx3g, ohq23, chx, cht, chtneg, dxr_o, dxi_o,
+               m_sc, sv_re, sv_im, used, xe_re, xe_im, agq, px, P):
+        consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:], chtneg[:])
         for i, (a, b) in enumerate(((apr, api), (bpr, bpi), (cpr, cpi))):
             wide = jnp.concatenate([a[:], b[:]], axis=1)
-            ag2[i] = fused._dot(ohq2[:], wide)
-            ag3[i] = fused._dot(ohq3[:], wide)
-        ag2v = [ag2[i] for i in range(3)]
-        ag3v = [ag3[i] for i in range(3)]
+            agq[i] = fused._dot(ohq23[:], wide)
         ones = jnp.ones((1, T), jnp.float32)
         zeros = jnp.zeros((1, T), jnp.float32)
         xp_w = jnp.concatenate(
@@ -104,11 +101,12 @@ def test_eval_solve_against_factored_oracle(problem):
              jnp.concatenate([xi[:], zeros], 0)], axis=1
         )
         t_w = jnp.full((1, 2 * T), tval, jnp.float32)
-        hx, h, mht = fused._eval_core(
-            c, consts, ag2v, ag3v, xp_w, t_w, False, True, T
+        fused._fill_P(c, P, agq, t_w, rk=True)
+        hx, mht = fused._eval_core(
+            c, consts, P[:], px, xp_w, T, want_h=False
         )
         fused._assemble(c, m_sc, hx, mht, T)
-        dr, di = fused._solve(c, m_sc, sv_re, sv_im, used, T)
+        dr, di = fused._solve(c, m_sc, sv_re, sv_im, used, xe_re, xe_im, T)
         dxr_o[:] = dr
         dxi_o[:] = di
 
@@ -117,7 +115,7 @@ def test_eval_solve_against_factored_oracle(problem):
     )
     xb = x.T[perm]
     gc = [jnp.asarray(a) for a in (
-        c.ohx23, c.ohx2g, c.ohx3g, c.ohq2, c.ohq3, c.chx, c.cht)]
+        c.ohx23, c.ohx2g, c.ohx3g, c.ohq23, c.chx, c.cht, c.chtneg)]
     dr, di = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((n, T), jnp.float32),) * 2,
@@ -128,8 +126,11 @@ def test_eval_solve_against_factored_oracle(problem):
             pltpu.VMEM((n, width, T), jnp.float32),
             pltpu.VMEM((n, width, T), jnp.float32),
             pltpu.VMEM((n, T), jnp.float32),
-            pltpu.VMEM((3, c.k2, 2 * T), jnp.float32),
-            pltpu.VMEM((3, c.k3, 2 * T), jnp.float32),
+            pltpu.VMEM((width, T), jnp.float32),
+            pltpu.VMEM((width, T), jnp.float32),
+            pltpu.VMEM((3, c.kp, 2 * T), jnp.float32),
+            pltpu.VMEM((c.kp, 2 * T), jnp.float32),
+            pltpu.VMEM((c.kp, 2 * T), jnp.float32),
         ],
         interpret=True,
     )(xb.real.astype(np.float32), xb.imag.astype(np.float32), *coefs, *gc)

@@ -1,0 +1,277 @@
+#!/usr/bin/env python
+"""Per-phase microbenchmark of the fused kernel's hot-loop pieces on TPU.
+
+Times one RK-stage evaluation, assembly, solve, P-cache fill and the full
+HC step in isolation by running each phase inside a fori_loop on realistic
+state, with a slight per-iteration t perturbation to defeat loop-invariant
+hoisting.  Two iteration counts are timed and the difference divided, so
+fixed launch/transfer costs cancel (axon d2h sync is ~24 ms; see
+.claude/skills/verify/SKILL.md).
+
+Usage: python tools/microbench_fused.py [phase ...]
+Phases: fillp eval evasm evsolve step   (default: all)
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.models.trifocal import (
+    TrifocalProblem,
+)
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import fused, ransac
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import data_io
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+    EngineConfig,
+    ransac_data_dir,
+)
+
+TILE = 256
+TILES = 8
+
+
+def build_phase_kernel(c, cfg, phase: str, T: int):
+    n = 30
+    width = n + 2
+
+    def kernel(niter, x0_re, x0_im,
+               apr, api, bpr, bpi, cpr, cpi,
+               ohx23, ohx2g, ohx3g, ohq23, chx, cht, chtneg,
+               out,
+               m_sc, sv_re, sv_im, used, xe_re, xe_im,
+               agq, px, prk):
+        consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:], chtneg[:])
+        for i, (a, b) in enumerate(((apr, api), (bpr, bpi), (cpr, cpi))):
+            wide = jnp.concatenate([a[:], b[:]], axis=1)
+            agq[i] = fused._dot(ohq23[:], wide)
+        ones = jnp.ones((1, T), jnp.float32)
+        zeros = jnp.zeros((1, T), jnp.float32)
+        xp_w = jnp.concatenate(
+            [jnp.concatenate([x0_re[:], ones], 0),
+             jnp.concatenate([x0_im[:], zeros], 0)], axis=1)
+        out[:] = jnp.zeros((n, T), jnp.float32)
+
+        def body(i, carry):
+            tval = 0.31 + i.astype(jnp.float32) * 1e-7
+            t_w = jnp.full((1, 2 * T), tval, jnp.float32)
+            if phase == "fillp":
+                fused._fill_P(c, prk, agq, t_w, rk=True)
+                out[0:1] += prk[0:1, :T]
+            elif phase == "mm5":
+                # The eval's 5 matmuls chained, no complex products.
+                xp = xp_w + prk[0:1] * 0.0 + t_w
+                fac = fused._dot(ohx23[:], xp)
+                a2 = fused._dot(ohx2g[:], fac[:c.qpad])
+                a3 = fused._dot(ohx3g[:], fac[c.sec_a:c.sec_a + c.cpad])
+                hx = fused._dot(chx[:], a2)
+                rhs = fused._dot(cht[:], a3)
+                out[:] += rhs[:, :T] + hx[:n, :T]
+            elif phase in ("mm5d", "mm5b"):
+                # Same 5 matmuls at DEFAULT precision / explicit bf16.
+                def dd(a, b):
+                    if phase == "mm5b":
+                        a = a.astype(jnp.bfloat16)
+                        b = b.astype(jnp.bfloat16)
+                    return jax.lax.dot_general(
+                        a, b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                xp = xp_w + prk[0:1] * 0.0 + t_w
+                fac = dd(ohx23[:], xp)
+                a2 = dd(ohx2g[:], fac[:c.qpad])
+                a3 = dd(ohx3g[:], fac[c.sec_a:c.sec_a + c.cpad])
+                hx = dd(chx[:], a2)
+                rhs = dd(cht[:], a3)
+                out[:] += rhs[:, :T] + hx[:n, :T]
+            elif phase == "mm5s":
+                # 3-term bf16 split: exact-to-f32 gathers at 3 passes.
+                def sdot(cb, x):
+                    hi = x.astype(jnp.bfloat16)
+                    r1 = x - hi.astype(jnp.float32)
+                    lo1 = r1.astype(jnp.bfloat16)
+                    lo2 = (r1 - lo1.astype(jnp.float32)).astype(jnp.bfloat16)
+                    def d(a, b):
+                        return jax.lax.dot_general(
+                            a, b, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    return d(cb, hi) + d(cb, lo1) + d(cb, lo2)
+                bf = jnp.bfloat16
+                xp = xp_w + prk[0:1] * 0.0 + t_w
+                fac = sdot(ohx23[:].astype(bf), xp)
+                a2 = sdot(ohx2g[:].astype(bf), fac[:c.qpad])
+                a3 = sdot(ohx3g[:].astype(bf), fac[c.sec_a:c.sec_a + c.cpad])
+                hx = sdot(chx[:].astype(bf), a2)
+                rhs = sdot(cht[:].astype(bf), a3)
+                out[:] += rhs[:, :T] + hx[:n, :T]
+            elif phase == "front":
+                # fac matmul + the two front complex products.
+                xp = xp_w + prk[0:1] * 0.0 + t_w
+                fac = fused._dot(ohx23[:], xp)
+                a = c.sec_a
+                u = fused._cmul_w(fac[:a], fac[a:2 * a], T)
+                x3 = fused._cmul_w(u[c.qpad:], fac[2 * a + c.qpad:], T)
+                out[:] += u[:n, :T] + x3[:n, :T]
+            elif phase == "back":
+                sv_re[0, 0:1] = sv_re[0, 0:1] + t_w[:, :T]
+                dr, di = fused._backsub(c, sv_re, sv_im, xe_re, xe_im, T)
+                out[:] += dr + di
+            else:
+                fused._fill_P(c, prk, agq, t_w, rk=True)
+                hx, rhs = fused._eval_core(
+                    c, consts, prk[:], px, xp_w, T, want_h=False)
+                if phase == "eval":
+                    out[:] += rhs[:, :T] + hx[:n, :T]
+                else:
+                    fused._assemble(c, m_sc, hx, rhs, T)
+                    if phase == "evasm":
+                        out[:] += m_sc[:, 0, :T]
+                    elif phase == "elim":
+                        fused._eliminate(c, m_sc, sv_re, sv_im, used, T)
+                        out[:] += sv_re[:, 0, :] + sv_im[:, 0, :]
+                    else:
+                        dr, di = fused._solve(
+                            c, m_sc, sv_re, sv_im, used, xe_re, xe_im, T)
+                        out[:] += dr + di
+            return carry
+
+        jax.lax.fori_loop(0, niter[0], body, 0)
+
+    return kernel, n, width
+
+
+def run_phase(problem, cfg, phase: str, iters: int):
+    c = fused.FusedConstants.build(problem)
+    T = TILE
+    kernel, n, width = build_phase_kernel(c, cfg, phase, T)
+    kp = c.kp
+
+    view = data_io.load_ransac_view(ransac_data_dir(cfg), 0)
+    samples = ransac.sample_edgel_triplets(0, view.edge_locations.shape[0], 1)
+    tgt = ransac.build_target_params(
+        view.edge_locations, view.edge_tangents, samples)
+    Bp = TILE * TILES
+    tgt_b = np.repeat(tgt, Bp, axis=0)
+    diff_b = (tgt_b - problem.start_params).astype(np.complex64)
+    reps = -(-Bp // problem.num_tracks)
+    x0 = np.tile(np.asarray(problem.start_sols), (reps, 1))[:Bp]
+    coefs = fused.build_pair_coefs(
+        problem, jnp.asarray(diff_b.real), jnp.asarray(diff_b.imag), Bp)
+    perm = np.asarray(c.perm)
+    xb = x0.T[perm]
+
+    grid_consts = [jnp.asarray(a) for a in (
+        c.ohx23, c.ohx2g, c.ohx3g, c.ohq23, c.chx, c.cht, c.chtneg)]
+
+    def _const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _tile_spec(rows):
+        return pl.BlockSpec((rows, TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def go(niter, xr, xi, *args):
+        return pl.pallas_call(
+            kernel,
+            grid=(TILES,),
+            out_shape=jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                      + [_tile_spec(n)] * 2
+                      + [_tile_spec(c.q)] * 6
+                      + [_const_spec(a) for a in grid_consts]),
+            out_specs=_tile_spec(n),
+            scratch_shapes=[
+                pltpu.VMEM((n, width, 2 * TILE), jnp.float32),
+                pltpu.VMEM((n, width, TILE), jnp.float32),
+                pltpu.VMEM((n, width, TILE), jnp.float32),
+                pltpu.VMEM((n, TILE), jnp.float32),
+                pltpu.VMEM((width, TILE), jnp.float32),
+                pltpu.VMEM((width, TILE), jnp.float32),
+                pltpu.VMEM((3, kp, 2 * TILE), jnp.float32),
+                pltpu.VMEM((kp, 2 * TILE), jnp.float32),
+                pltpu.VMEM((kp, 2 * TILE), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(niter, xr, xi, *args)
+
+    args = (jnp.asarray(xb.real, jnp.float32),
+            jnp.asarray(xb.imag, jnp.float32)) + tuple(coefs) + tuple(
+        grid_consts)
+
+    def timed(ni):
+        o = go(jnp.full((1,), ni, jnp.int32), *args)
+        t0 = time.perf_counter()
+        o = go(jnp.full((1,), ni, jnp.int32), *args)
+        np.asarray(o[0, 0])  # d2h fence (block_until_ready is a no-op on axon)
+        return time.perf_counter() - t0
+
+    timed(4)  # warm compile + cache
+    t1 = min(timed(iters) for _ in range(5))
+    t2 = min(timed(2 * iters) for _ in range(5))
+    per_iter_us = (t2 - t1) / iters / TILES * 1e6
+    return per_iter_us
+
+
+def run_step(problem, cfg, iters: int):
+    """Full one_step cost via the production kernel with fresh state."""
+    c = fused.FusedConstants.build(problem)
+    run = fused.build_kernel_caller(c, problem, cfg.hc, TILE, iters, False)
+    view = data_io.load_ransac_view(ransac_data_dir(cfg), 0)
+    samples = ransac.sample_edgel_triplets(0, view.edge_locations.shape[0], 1)
+    tgt = ransac.build_target_params(
+        view.edge_locations, view.edge_tangents, samples)
+    Bp = TILE * TILES
+    tgt_b = np.repeat(tgt, Bp, axis=0)
+    diff_b = (tgt_b - problem.start_params).astype(np.complex64)
+    reps = -(-Bp // problem.num_tracks)
+    x0 = np.tile(np.asarray(problem.start_sols), (reps, 1))[:Bp]
+    perm = np.asarray(c.perm)
+    xb = x0.T[perm]
+
+    @jax.jit
+    def go(ni):
+        coefs = fused.build_pair_coefs(
+            problem, jnp.asarray(diff_b.real), jnp.asarray(diff_b.imag), Bp)
+        xr = jnp.asarray(xb.real, jnp.float32)
+        xi = jnp.asarray(xb.imag, jnp.float32)
+        state = (xr, xi, xr, xi, fused.init_flags(cfg.hc, Bp))
+        out = run(state, coefs, niter=ni)
+        return out[0]
+
+    def timed(ni):
+        o = go(jnp.full((1,), ni, jnp.int32))
+        t0 = time.perf_counter()
+        o = go(jnp.full((1,), ni, jnp.int32))
+        np.asarray(o[0, 0])
+        return time.perf_counter() - t0
+
+    timed(2)
+    lo, hi = max(2, iters // 4), iters // 2
+    t1 = min(timed(lo) for _ in range(3))
+    t2 = min(timed(hi) for _ in range(3))
+    return (t2 - t1) / (hi - lo) / TILES * 1e6
+
+
+def main():
+    phases = sys.argv[1:] or [
+        "fillp", "mm5", "front", "eval", "evasm", "elim", "back",
+        "evsolve", "step",
+    ]
+    cfg = EngineConfig()
+    problem = TrifocalProblem.load(cfg)
+    for ph in phases:
+        if ph == "step":
+            us = run_step(problem, cfg, 64)
+        else:
+            us = run_phase(problem, cfg, ph, 500)
+        print(f"{ph:8s}: {us:8.2f} us/iter/tile (tile={TILE})")
+
+
+if __name__ == "__main__":
+    main()

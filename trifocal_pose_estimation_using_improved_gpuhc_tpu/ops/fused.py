@@ -14,13 +14,30 @@ re-designed for the TPU's execution model rather than translated:
   CUDA blocks freeing their SM.
 
 * Indexed polynomial evaluation (gpu-idx-evals/...LimUnroll_L2Cache.cuh)
-  becomes a chain of small constant one-hot / coefficient matmuls on the
-  MXU.  The parameter-homotopy pair products are hoisted out of the loop
-  entirely: p(t) = start + t*diff is affine in t, so every parameter-pair
-  product P_q(t) = A_q t^2 + B_q t + C_q with per-path constants A, B, C
-  computed once per round -- inside the loop a pair product costs two
-  fused multiply-adds (the TPU-native sharpening of strategy (PH),
-  README.md:5).
+  becomes a short chain of constant matmuls on the MXU plus three fused
+  complex lane products, with every constant section padded to sublane
+  (8-row) alignment so no slice needs a Mosaic shift:
+
+    fac = OHX @ [x; 1]      one gather matmul; rows = [qm_a|cm_a|qm_b|
+                            cm_b|  |cm_c] so ONE complex product yields
+                            all quadratic monomials AND the cm_a*cm_b
+                            halves of the cubics, and a second one
+                            finishes the cubics.
+    px  = [G2 @ x2; G3 @ x3]   monomial -> (pair, monomial)-combo gathers,
+                            written into one contiguous VMEM scratch.
+    pxv = P(t) * px         ONE wide complex product for Hx *and* H/Ht.
+    hx  = CHX @ pxv[:K2];  rhs = CHT(+/-) @ pxv[K2:]
+
+  where P(t) is the per-path parameter-pair product vector.  p(t) =
+  start + t*diff is affine in t (the TPU-native sharpening of strategy
+  (PH), README.md:5), so P(t) = A t^2 + B t + C with per-path constants
+  hoisted out of the loop; inside the loop P is (re)filled ONCE PER
+  DISTINCT t VALUE -- 4 fills per HC step (t, t+h/2, t+h for RK, and the
+  corrector's H-polynomial at t+h) serve all ~7 evaluations, the analogue
+  of the reference hoisting compute_param_homotopy out of the corrector
+  (...TrunPaths.cu:217-224 reuses s_param_homotopy).  -Ht needs the pair
+  derivative 2At+B and a sign flip; the flip is baked into a negated
+  constant fold matrix (chtneg) so it costs nothing.
 
 * The 30x30 complex solve (dev-cgesv-batched-small.cuh:38-107) uses the
   static elimination schedule of ops/schedule.py: the Jacobian has a fixed
@@ -29,7 +46,8 @@ re-designed for the TPU's execution model rather than translated:
   dense elimination flops.  The pivot metric |Re|+|Im| matches the
   reference (:55); variables are globally re-ordered by elimination
   position so every step's active columns form an aligned contiguous tail
-  slice.
+  slice.  Back-substitution runs in a persistent (width, T) scratch so no
+  per-step concatenations materialise.
 
 Path truncation (TrunPaths), end-zone clamping, corrector tolerances and
 the adaptive-dt policy mirror ops/tracker.py (the tested oracle) line for
@@ -64,6 +82,35 @@ def _dot(a, b):
     )
 
 
+def _bdot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _split3(x):
+    """Exact 3-term bf16 decomposition of f32: x == h + l1 + l2.
+
+    All constant matrices here are exactly representable in bf16 (one-hot
+    gathers and small-integer coefficient folds), so C@x computed as three
+    1-pass bf16 matmuls accumulated in f32 reproduces the f32 product to
+    within final-rounding -- at half the cost of Precision.HIGHEST, which
+    Mosaic lowers to ~6 bf16 passes (measured 7.4us -> 4.0us for the
+    evaluator's five matmuls at tile=256).
+    """
+    h = x.astype(jnp.bfloat16)
+    r1 = x - h.astype(jnp.float32)
+    l1 = r1.astype(jnp.bfloat16)
+    l2 = (r1 - l1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (h, l1, l2)
+
+
+def _sdot(cb, x):
+    h, l1, l2 = _split3(x)
+    return _bdot(cb, h) + _bdot(cb, l1) + _bdot(cb, l2)
+
+
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
@@ -86,32 +133,53 @@ def _onehot(idx: np.ndarray, n: int) -> np.ndarray:
     return m
 
 
+def _ceil8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
 @dataclasses.dataclass(frozen=True)
 class FusedConstants:
-    """All numpy constants consumed by the kernel (see build())."""
+    """All numpy constants consumed by the kernel (see build()).
+
+    Section layout (all 8-row aligned so every kernel slice is sublane
+    aligned): the front gather ohx23 has three blocks of ``sec_a`` rows,
+      A = [qm_a (m2) | pad | cm_a (m3) | pad]      rows 0      : sec_a
+      B = [qm_b      | pad | cm_b      | pad]      rows sec_a  : 2*sec_a
+      C = [ zeros (qpad)   | cm_c      | pad]      rows 2*sec_a: 3*sec_a
+    so u = A-part * B-part yields the quadratic monomials in u[:qpad] and
+    the cm_a*cm_b halves in u[qpad:], and x3 = u[qpad:] * fac[C + qpad:].
+    Combo space is [Hx combos (k2p rows) | H/Ht combos (k3p rows)].
+    """
 
     perm: np.ndarray          # (30,) position -> original var
     pos_of_var: np.ndarray    # (30,) original var -> position
-    ohx2: np.ndarray          # (2*M2, 31) quad-monomial factor gathers
-    ohx3: np.ndarray          # (3*M3, 31) cubic-monomial factor gathers
-    ohx23: np.ndarray         # merged [ohx2 (8-aligned pad); ohx3]
-    x3_off: int               # row offset of the x3 block inside ohx23
-    ohx2g: np.ndarray         # (K2, M2) combo <- monomial gather
-    ohx3g: np.ndarray         # (K3, M3)
-    ohq2: np.ndarray          # (K2, Q) combo <- pair gather
-    ohq3: np.ndarray          # (K3, Q)
-    chx: np.ndarray           # (NNZ, K2) combo -> Hx nonzero weights
-    cht: np.ndarray           # (E, K3)  combo -> H/Ht weights
+    ohx23: np.ndarray         # (3*sec_a, n_vars+1) front factor gather
+    ohx2g: np.ndarray         # (k2p, qpad) quad monomial -> Hx combo gather
+    ohx3g: np.ndarray         # (k3p, cpad) cubic monomial -> H/Ht combo gather
+    ohq23: np.ndarray         # (k2p + k3p, Q) param-pair -> combo gather
+    chx: np.ndarray           # (NNZ, k2p) combo -> Hx nonzero weights
+    cht: np.ndarray           # (n, k3p)  combo -> H/Ht equation weights
+    chtneg: np.ndarray        # -cht (folds the -Ht sign for free)
     row_order: np.ndarray     # (30,) row position -> original equation
     row_runs_v: Tuple[Tuple, ...]  # per-row-position value runs (src_lo, src_hi, dst_col)
     steps: Tuple[Tuple, ...]  # (pos, row runs ((lo,hi),...), col_lo)
+    elim_plan: Tuple[Tuple, ...]   # steps + (fresh, last) used-mask flags
     depth_rows: Tuple[int, ...]    # permuted positions of depth vars 0..7
+    sec_a: int                # rows per front block (qpad + cpad)
+    qpad: int                 # 8-aligned quad-monomial section rows
+    cpad: int                 # 8-aligned cubic-monomial section rows
+    k2p: int                  # 8-aligned Hx combo rows
+    k3p: int                  # 8-aligned H/Ht combo rows
     m2: int
     m3: int
     k2: int
     k3: int
     q: int
     nnz: int
+
+    @property
+    def kp(self) -> int:
+        return self.k2p + self.k3p
 
     @classmethod
     def build(cls, problem: TrifocalProblem) -> "FusedConstants":
@@ -128,23 +196,31 @@ class FusedConstants:
             return int(pos_of_var[v]) if v < n else v
 
         pv = np.vectorize(pvar)
-        ohx2 = np.concatenate(
-            [_onehot(pv(f.qm_a), n + 1), _onehot(pv(f.qm_b), n + 1)]
-        )
-        pad2 = (-len(ohx2)) % 8  # 8-align the x3 row offset in the merged matmul
-        ohx2p = np.concatenate([ohx2, np.zeros((pad2, n + 1), np.float32)])
-        ohx3 = np.concatenate(
-            [
-                _onehot(pv(f.cm_a), n + 1),
-                _onehot(pv(f.cm_b), n + 1),
-                _onehot(pv(f.cm_c), n + 1),
-            ]
-        )
-        ohx23 = np.concatenate([ohx2p, ohx3]).astype(np.float32)
-        ohx2g = _onehot(f.hx_m, len(f.qm_a))
-        ohx3g = _onehot(f.ht_m, len(f.cm_a))
-        ohq2 = _onehot(f.hx_q, len(f.pp_a))
-        ohq3 = _onehot(f.ht_q, len(f.pp_a))
+        m2, m3, q = len(f.qm_a), len(f.cm_a), len(f.pp_a)
+        k2, k3 = len(f.hx_q), len(f.ht_q)
+        qpad, cpad = _ceil8(m2), _ceil8(m3)
+        sec_a = qpad + cpad
+        k2p, k3p = _ceil8(k2), _ceil8(k3)
+
+        def block(qm, cm):
+            b = np.zeros((sec_a, n + 1), np.float32)
+            if qm is not None:
+                b[:m2] = _onehot(pv(qm), n + 1)
+            b[qpad:qpad + m3] = _onehot(pv(cm), n + 1)
+            return b
+
+        ohx23 = np.concatenate(
+            [block(f.qm_a, f.cm_a), block(f.qm_b, f.cm_b),
+             block(None, f.cm_c)]
+        ).astype(np.float32)
+
+        ohx2g = np.zeros((k2p, qpad), np.float32)
+        ohx2g[:k2, :m2] = _onehot(f.hx_m, m2)
+        ohx3g = np.zeros((k3p, cpad), np.float32)
+        ohx3g[:k3, :m3] = _onehot(f.ht_m, m3)
+        ohq23 = np.zeros((k2p + k3p, q), np.float32)
+        ohq23[:k2] = _onehot(f.hx_q, q)
+        ohq23[k2p:k2p + k3] = _onehot(f.ht_q, q)
 
         # Row (equation) permutation making every step's candidate set one
         # contiguous slice of rows (verified single-run for this problem).
@@ -163,8 +239,10 @@ class FusedConstants:
             )
         entries.sort()
         order = np.array([e[2] for e in entries], np.int32)
-        chx = f.hx_C.T[order].astype(np.float32)  # (NNZ, K2) reordered
-        cht = f.ht_C.T[row_order].astype(np.float32)  # rows permuted
+        chx = np.zeros((nnz_total, k2p), np.float32)
+        chx[:, :k2] = f.hx_C.T[order]          # (NNZ, K2) reordered
+        cht = np.zeros((n, k3p), np.float32)
+        cht[:, :k3] = f.ht_C.T[row_order]      # rows permuted
 
         # Row assembly program: per row position, the maximal contiguous
         # value runs (src_lo, src_hi, dst_col); zeros and the rhs column are
@@ -197,28 +275,49 @@ class FusedConstants:
             for si, st in enumerate(s.steps)
         )
         depth_rows = tuple(int(pos_of_var[v]) for v in range(8))
+
+        # --- Elimination step metadata -------------------------------------
+        # fresh: no candidate row was a candidate of any earlier step, so
+        # the used-mask is statically all-zero (skip its load + where);
+        # last: no candidate row appears in any later step, so the updated
+        # used-mask is never read again (skip its store).  A full levelled
+        # batching of row-disjoint steps was implemented and measured
+        # SLOWER end-to-end on v5e (745 vs 693 ms per H=100 round), so the
+        # elimination stays sequential.
+        rows_of = [set(r for a, b in runs for r in range(a, b))
+                   for _, runs, _ in steps]
+        plan: List[Tuple] = []
+        for si, (sc, runs, lo) in enumerate(steps):
+            before = set().union(*rows_of[:si]) if si else set()
+            after = set().union(*rows_of[si + 1:]) if si + 1 < len(steps) else set()
+            fresh = not (rows_of[si] & before)
+            last = not (rows_of[si] & after)
+            plan.append((sc, runs, lo, fresh, last))
         return cls(
             perm=perm,
             pos_of_var=pos_of_var,
-            ohx2=ohx2,
-            ohx3=ohx3,
             ohx23=ohx23,
-            x3_off=len(ohx2p),
             ohx2g=ohx2g,
             ohx3g=ohx3g,
-            ohq2=ohq2,
-            ohq3=ohq3,
+            ohq23=ohq23,
             chx=chx,
             cht=cht,
+            chtneg=(-cht).astype(np.float32),
             row_order=row_order,
             row_runs_v=tuple(row_runs_v),
             steps=steps,
+            elim_plan=tuple(plan),
             depth_rows=depth_rows,
-            m2=len(f.qm_a),
-            m3=len(f.cm_a),
-            k2=len(f.hx_q),
-            k3=len(f.ht_q),
-            q=len(f.pp_a),
+            sec_a=sec_a,
+            qpad=qpad,
+            cpad=cpad,
+            k2p=k2p,
+            k3p=k3p,
+            m2=m2,
+            m3=m3,
+            k2=k2,
+            k3=k3,
+            q=q,
             nnz=nnz_total,
         )
 
@@ -233,58 +332,53 @@ def _quad(a, b, cc, t):
     return (a * t + b) * t + cc
 
 
-def _eval_core(c: FusedConstants, consts, ag2, ag3, xp_w, t_w,
-               need_h: bool, need_ht: bool, T: int, need_hx: bool = True):
-    """Evaluate Hx nonzeros and (optionally) H / -Ht at (x, t).
+def _fill_P(c: FusedConstants, P, agq, t_w, rk: bool):
+    """Fill the cached parameter-product vector P at one t value.
+
+    agq: (3, kp, 2T) hoisted quadratic coefficients (A, B, C) per combo,
+    gathered once per tile.  The Hx half [0:k2p] always takes the pair
+    product P_q(t); the H/Ht half takes the pair DERIVATIVE 2At+B for RK
+    stages (rk=True; ...LimUnroll_L2Cache.cuh:109-118 accumulates against
+    diffParams) and P_q(t) itself for the corrector's H (rk=False).
+    """
+    k2p = c.k2p
+    P[:k2p] = _quad(agq[0, :k2p], agq[1, :k2p], agq[2, :k2p], t_w)
+    if rk:
+        P[k2p:] = 2.0 * agq[0, k2p:] * t_w + agq[1, k2p:]
+    else:
+        P[k2p:] = _quad(agq[0, k2p:], agq[1, k2p:], agq[2, k2p:], t_w)
+
+
+def _eval_core(c: FusedConstants, consts, P, px, xp_w, T: int,
+               want_h: bool, need_hx: bool = True, dot=_dot):
+    """Evaluate Hx nonzeros and the rhs (H if want_h else -Ht) at (x, P(t)).
 
     Semantics of gpu-idx-evals/...LimUnroll_L2Cache.cuh:57-148 in the
     monomial-factored form (models/trifocal.py).  Every array carries the
     complex planes side by side in the lane axis ([re | im], width 2T), so
-    each complex x real-constant matmul is ONE MXU op and the elementwise
-    complex products split/concat lanes at 128-aligned offsets.
+    each complex x real-constant matmul is ONE MXU op; all row slices are
+    8-aligned by construction (FusedConstants section layout).
 
-    xp_w: (31, 2T) homogeneous solution; t_w: (1, 2T) with t in both halves.
-    ag2/ag3: (3, K, 2T) wide quadratic pair-product coefficients (A, B, C).
-    Returns (hx (NNZ, 2T), h, mht) wide arrays (or None).
+    xp_w: (31, 2T) homogeneous solution; P: (kp, 2T) cached parameter
+    products for this t value (see _fill_P); px: (kp, 2T) scratch ref.
+    Returns (hx (NNZ, 2T) or None, rhs (n, 2T)) wide arrays.
     """
-    (ohx23, ohx2g, ohx3g, chx, cht) = consts
-    m2 = c.m2
-    x3o = c.x3_off
-    m3 = c.m3
+    (ohx23, ohx2g, ohx3g, chx, cht, chtneg) = consts
+    a = c.sec_a
+    qp = c.qpad
+    k2p = c.k2p
 
-    if (need_h or need_ht) and need_hx:
-        fac = _dot(ohx23, xp_w)                    # (x3_off + 3*M3, 2T)
-        f2 = fac[: 2 * m2]
-        f3 = fac[x3o:]
-    elif need_hx:
-        f2 = _dot(ohx23[: 2 * m2], xp_w)           # (2*M2, 2T)
-        f3 = None
-    else:
-        f2 = None
-        f3 = _dot(ohx23[x3o:], xp_w)               # (3*M3, 2T)
-
-    hx = None
+    fac = dot(ohx23, xp_w)                      # (3*sec_a, 2T)
+    u = _cmul_w(fac[:a], fac[a:2 * a], T)       # x2 in [:qpad], ab in [qpad:]
     if need_hx:
-        x2 = _cmul_w(f2[:m2], f2[m2: 2 * m2], T)   # (M2, 2T)
-        x2g = _dot(ohx2g, x2)                      # (K2, 2T)
-        pg = _quad(ag2[0], ag2[1], ag2[2], t_w)    # (K2, 2T)
-        px2 = _cmul_w(pg, x2g, T)
-        hx = _dot(chx, px2)                        # (NNZ, 2T)
+        px[:k2p] = dot(ohx2g, u[:qp])           # (k2p, 2T) Hx combos
+    x3 = _cmul_w(u[qp:], fac[2 * a + qp:], T)   # (cpad, 2T) cubic monomials
+    px[k2p:] = dot(ohx3g, x3)                   # (k3p, 2T) H/Ht combos
+    pxv = _cmul_w(P, px[:], T)                  # ONE wide complex product
 
-    h = mht = None
-    if need_h or need_ht:
-        ab = _cmul_w(f3[:m3], f3[m3: 2 * m3], T)
-        x3 = _cmul_w(ab, f3[2 * m3:], T)           # (M3, 2T)
-        x3g = _dot(ohx3g, x3)                      # (K3, 2T)
-        if need_h:
-            p3 = _quad(ag3[0], ag3[1], ag3[2], t_w)
-            h = _dot(cht, _cmul_w(p3, x3g, T))
-        if need_ht:
-            # dP/dt = 2*A*t + B; negated so the RK solve yields dx/dt
-            # directly (...LimUnroll_L2Cache.cuh:109-118 accumulates -Ht).
-            dp = 2.0 * ag3[0] * t_w + ag3[1]
-            mht = -_dot(cht, _cmul_w(dp, x3g, T))
-    return hx, h, mht
+    hx = dot(chx, pxv[:k2p]) if need_hx else None
+    rhs = dot(cht if want_h else chtneg, pxv[k2p:])
+    return hx, rhs
 
 
 def _assemble(c: FusedConstants, m, hx, rhs, T: int):
@@ -293,19 +387,18 @@ def _assemble(c: FusedConstants, m, hx, rhs, T: int):
     Layout: rows = permuted equations, columns = [permuted vars | rhs |
     pad], lanes = [re | im] (so every nonzero run is ONE write -- the
     per-plane version measured 7.5us per assembly, dominating the solve).
-    Zeros + the rhs column are one bulk write.
+    The zero skeleton is one broadcast store (no concatenated temporary).
     """
     n = rhs.shape[0]
-    z = jnp.zeros((n, n, 2 * T), jnp.float32)
-    z1 = jnp.zeros((n, 1, 2 * T), jnp.float32)
-    m[:] = jnp.concatenate([z, jnp.expand_dims(rhs, 1), z1], axis=1)
+    m[:] = jnp.zeros((n, n + 2, 2 * T), jnp.float32)
+    m[:, n:n + 1] = jnp.expand_dims(rhs, 1)
     for rp, runs in enumerate(c.row_runs_v):
         for (src_lo, src_hi, dst) in runs:
             w = src_hi - src_lo
             m[rp, dst:dst + w] = hx[src_lo:src_hi]
 
 
-def _solve(c: FusedConstants, m, sv_re, sv_im, used, T: int,
+def _solve(c: FusedConstants, m, sv_re, sv_im, used, xe_re, xe_im, T: int,
            save=None):
     """Structured partial-pivoted elimination + back-substitution.
 
@@ -317,25 +410,35 @@ def _solve(c: FusedConstants, m, sv_re, sv_im, used, T: int,
     and elimination multipliers so _resolve_rhs can re-apply the same
     factorization to a new right-hand side (frozen-Jacobian RK stages).
     """
+    _eliminate(c, m, sv_re, sv_im, used, T, save=save)
+    return _backsub(c, sv_re, sv_im, xe_re, xe_im, T)
+
+
+def _eliminate(c: FusedConstants, m, sv_re, sv_im, used, T: int, save=None):
+    """Forward elimination over the static schedule (see _solve)."""
     n = len(c.steps)
     width = n + 2
+    # Non-fresh steps may still contain rows first touched THIS step (mixed
+    # candidate sets), so the mask must start at zero every solve.
     used[:] = jnp.zeros((n, T), jnp.float32)
-    for s, runs, lo in c.steps:
+    for s, runs, lo, fresh, last in c.elim_plan:
         nc = sum(hi - lo_r for lo_r, hi in runs)
         if len(runs) == 1:
             r0, r1 = runs[0]
             Mw = m[r0:r1, lo:width]
-            ure = used[r0:r1]
+            ure = None if fresh else used[r0:r1]
         else:
             Mw = jnp.concatenate([m[a:b, lo:width] for a, b in runs], axis=0)
-            ure = jnp.concatenate([used[a:b] for a, b in runs], axis=0)
+            ure = None if fresh else jnp.concatenate(
+                [used[a:b] for a, b in runs], axis=0)
         Mre = Mw[:, :, :T]
         Mim = Mw[:, :, T:]
         jcol = s - lo
         cr = Mre[:, jcol, :]
         ci = Mim[:, jcol, :]
         metric = jnp.abs(cr) + jnp.abs(ci)
-        metric = jnp.where(ure > 0.5, -1.0, metric)
+        if not fresh:
+            metric = jnp.where(ure > 0.5, -1.0, metric)
         mx = jnp.max(metric, axis=0, keepdims=True)
         hit = metric >= mx
         rid = jax.lax.broadcasted_iota(jnp.int32, (nc, T), 0)
@@ -362,31 +465,37 @@ def _solve(c: FusedConstants, m, sv_re, sv_im, used, T: int,
                         - fi[:, None, :] * prow_im[None])
         new_im = Mim - (fr[:, None, :] * prow_im[None]
                         + fi[:, None, :] * prow_re[None])
-        new_used = ure + oh
         new_w = jnp.concatenate([new_re, new_im], axis=2)
+        if not last:
+            new_used = oh if fresh else ure + oh
         off = 0
         for a, b in runs:
             w_r = b - a
             m[a:b, lo:width] = new_w[off:off + w_r]
-            used[a:b] = new_used[off:off + w_r]
+            if not last:
+                used[a:b] = new_used[off:off + w_r]
             off += w_r
 
-    return _backsub(c, sv_re, sv_im, T)
 
+def _backsub(c: FusedConstants, sv_re, sv_im, xe_re, xe_im, T: int):
+    """Back-substitution on saved pivot rows, reverse schedule order.
 
-def _backsub(c: FusedConstants, sv_re, sv_im, T: int):
-    """Back-substitution on saved pivot rows, reverse schedule order."""
+    The solution accumulates in the persistent (width, T) xe scratch; each
+    step reads the aligned tail slice directly, so no per-step temporary
+    concatenations materialise (the list-of-rows version cost ~30 extra
+    vector copies per solve).
+    """
     n = len(c.steps)
     width = n + 2
-    xe_re = [jnp.zeros((1, T), jnp.float32) for _ in range(width)]
-    xe_im = [jnp.zeros((1, T), jnp.float32) for _ in range(width)]
-    xe_re[n] = -jnp.ones((1, T), jnp.float32)
+    xe_re[:] = jnp.zeros((width, T), jnp.float32)
+    xe_im[:] = jnp.zeros((width, T), jnp.float32)
+    xe_re[n:n + 1] = -jnp.ones((1, T), jnp.float32)
     for s in range(n - 1, -1, -1):
         lo = c.steps[s][2]
         prow_re = sv_re[s, lo:width]
         prow_im = sv_im[s, lo:width]
-        tail_re = jnp.concatenate(xe_re[lo:], axis=0)   # (w, T)
-        tail_im = jnp.concatenate(xe_im[lo:], axis=0)
+        tail_re = xe_re[lo:width]                       # xe[s] is still 0
+        tail_im = xe_im[lo:width]
         ar, ai = _cmul(prow_re, prow_im, tail_re, tail_im)
         acc_re = jnp.sum(ar, axis=0, keepdims=True)
         acc_im = jnp.sum(ai, axis=0, keepdims=True)
@@ -395,15 +504,13 @@ def _backsub(c: FusedConstants, sv_re, sv_im, T: int):
         den = pr * pr + pi * pi
         den = jnp.where(den == 0.0, 1.0, den)
         xr, xi = _cmul(acc_re, acc_im, -pr / den, pi / den)
-        xe_re[s] = xr
-        xe_im[s] = xi
-    dx_re = jnp.concatenate(xe_re[:n], axis=0)
-    dx_im = jnp.concatenate(xe_im[:n], axis=0)
-    return dx_re, dx_im
+        xe_re[s:s + 1] = xr
+        xe_im[s:s + 1] = xi
+    return xe_re[:n], xe_im[:n]
 
 
 def _resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
-                 rr_re, rr_im, rhs, T: int):
+                 rr_re, rr_im, xe_re, xe_im, rhs, T: int):
     """Re-apply a saved factorization to a new rhs, then back-substitute.
 
     Forward pass: replay each step's pivot one-hot + multipliers on the rhs
@@ -438,7 +545,7 @@ def _resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
             off += w_r
         sv_re[s, n:n + 1] = pr
         sv_im[s, n:n + 1] = pi
-    return _backsub(c, sv_re, sv_im, T)
+    return _backsub(c, sv_re, sv_im, xe_re, xe_im, T)
 
 
 # ---------------------------------------------------------------------------
@@ -450,7 +557,8 @@ def _resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
 _F_T, _F_DT, _F_SC, _F_EZ, _F_CK, _F_INF, _F_PRN, _F_NST = range(8)
 
 
-def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int):
+def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
+                 interpret: bool = False):
     """Kernel running up to n_iters HC steps on resumable state.
 
     State (x, x_last, flags) comes in as inputs and leaves as outputs, so
@@ -462,17 +570,30 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int):
 
     def kernel(niter, x0_re, x0_im, xli_re, xli_im, fli,
                apr, api, bpr, bpi, cpr, cpi,
-               ohx23, ohx2g, ohx3g, ohq2, ohq3, chx, cht,
+               ohx23, ohx2g, ohx3g, ohq23, chx, cht, chtneg,
                xo_re, xo_im, xl_re, xl_im, flags,
-               m_sc, sv_re, sv_im, used,
-               ag2, ag3, cw_re, cw_im, cfl,
+               m_sc, sv_re, sv_im, used, xe_re, xe_im,
+               agq, px, prk, pco, cw_re, cw_im, cfl,
                *rkj_and_cont):
         if cfg.rk_jacobian_reuse:
             foh, ffr, ffi, rr_re, rr_im, cont = rkj_and_cont
         else:
             (cont,) = rkj_and_cont
             foh = ffr = ffi = rr_re = rr_im = None
-        consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:])
+        consts_f = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:], chtneg[:])
+        # Matmul modes: interpret mode keeps plain f32 for exact oracle
+        # parity; on TPU "split3" runs every constant matmul as 3 one-pass
+        # bf16 products of the exact f32 split (see _split3).
+        split = (not interpret) and cfg.eval_precision == "split3"
+        if split:
+            consts = tuple(a.astype(jnp.bfloat16) for a in consts_f)
+            dot_c = _sdot
+        else:
+            consts, dot_c = consts_f, _dot
+        # A 1-pass bf16 predictor was measured: zero wall-clock gain and
+        # convergence dropped 2460 -> 1335 per 31200 paths, so RK stages
+        # keep the same exact-split matmuls as the corrector.
+        consts_rk, dot_rk = consts, dot_c
 
         # Hoisted pair-product quadratic coefficients, gathered to combos
         # once per tile in wide [re | im] lane layout (the L2-persistent
@@ -482,8 +603,7 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int):
             ((apr, api), (bpr, bpi), (cpr, cpi))
         ):
             wide = jnp.concatenate([re_src[:], im_src[:]], axis=1)
-            ag2[i] = _dot(ohq2[:], wide)
-            ag3[i] = _dot(ohq3[:], wide)
+            agq[i] = _dot(ohq23[:], wide)
 
         xo_re[:] = x0_re[:]
         xo_im[:] = x0_im[:]
@@ -504,40 +624,41 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int):
         cont[0] = jnp.max(act0).astype(jnp.int32)
 
         def one_step():
-            ag2v = [ag2[i] for i in range(3)]
-            ag3v = [ag3[i] for i in range(3)]
             ones = jnp.ones((1, T), jnp.float32)
             zeros = jnp.zeros((1, T), jnp.float32)
 
-            def _wide(x, tt):
-                xp_w = jnp.concatenate(
+            def tw(tt):
+                return jnp.concatenate([tt, tt], axis=1)
+
+            def _wide(x):
+                return jnp.concatenate(
                     [
                         jnp.concatenate([x[0], ones], axis=0),
                         jnp.concatenate([x[1], zeros], axis=0),
                     ],
                     axis=1,
                 )
-                return xp_w, jnp.concatenate([tt, tt], axis=1)
 
-            def es(x, tt, need_h, need_ht, save=None):
-                xp_w, t_w = _wide(x, tt)
-                hx, h, mht = _eval_core(
-                    c, consts, ag2v, ag3v, xp_w, t_w, need_h, need_ht, T
+            def es(x, P, want_h, rk=False, save=None):
+                hx, rhs = _eval_core(
+                    c, consts_rk if rk else consts, P[:], px, _wide(x), T,
+                    want_h, dot=dot_rk if rk else dot_c
                 )
-                rhs = h if need_h else mht
                 _assemble(c, m_sc, hx, rhs, T)
-                return _solve(c, m_sc, sv_re, sv_im, used, T, save=save)
+                return _solve(
+                    c, m_sc, sv_re, sv_im, used, xe_re, xe_im, T, save=save
+                )
 
-            def es_rhs(x, tt):
+            def es_rhs(x):
                 # Frozen-Jacobian stage: -Ht only, replay the saved
                 # factorization on the new rhs (strategy RKJ; see HCConfig).
-                xp_w, t_w = _wide(x, tt)
-                _, _, mht = _eval_core(
-                    c, consts, ag2v, ag3v, xp_w, t_w, False, True, T,
-                    need_hx=False,
+                _, rhs = _eval_core(
+                    c, consts_rk, prk[:], px, _wide(x), T, False,
+                    need_hx=False, dot=dot_rk
                 )
                 return _resolve_rhs(
-                    c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im, mht, T
+                    c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im,
+                    xe_re, xe_im, rhs, T
                 )
 
             x_re = xo_re[:]
@@ -586,24 +707,28 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int):
             )
             half = 0.5 * dtc
 
-            # RK4 predictor (...TrunPaths.cu:170-211).  With
+            # RK4 predictor (...TrunPaths.cu:170-211): the cached parameter
+            # products refill once per distinct t (t, t+h/2, t+h).  With
             # rk_jacobian_reuse, stages 2-4 freeze Hx at the step's start
             # and only re-evaluate Ht + replay the factorization.
-            if cfg.rk_jacobian_reuse:
-                k1 = es((x_re, x_im), t, False, True,
-                        save=(foh, ffr, ffi))
-                stage = es_rhs
-            else:
-                k1 = es((x_re, x_im), t, False, True)
-                stage = lambda x, tt: es(x, tt, False, True)
-            xb = (x_re + half * k1[0], x_im + half * k1[1])
             tb = t + half
-            k2 = stage(xb, tb)
-            xc = (x_re + half * k2[0], x_im + half * k2[1])
-            k3 = stage(xc, tb)
             tc = tb + half
+            _fill_P(c, prk, agq, tw(t), rk=True)
+            if cfg.rk_jacobian_reuse:
+                k1 = es((x_re, x_im), prk, False, rk=True,
+                        save=(foh, ffr, ffi))
+                stage = lambda x: es_rhs(x)
+            else:
+                k1 = es((x_re, x_im), prk, False, rk=True)
+                stage = lambda x: es(x, prk, False, rk=True)
+            xb = (x_re + half * k1[0], x_im + half * k1[1])
+            _fill_P(c, prk, agq, tw(tb), rk=True)
+            k2 = stage(xb)
+            xc = (x_re + half * k2[0], x_im + half * k2[1])
+            k3 = stage(xc)
             xd = (x_re + dtc * k3[0], x_im + dtc * k3[1])
-            k4 = stage(xd, tc)
+            _fill_P(c, prk, agq, tw(tc), rk=True)
+            k4 = stage(xd)
             sixth = dtc / 6.0
             cur_re = x_re + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
             cur_im = x_im + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
@@ -611,14 +736,17 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int):
             # Newton corrector at frozen t_c (:216-250): state lives in
             # scratch refs so iterations after the first run under a
             # tile-wide skip once every lane has succeeded or blown up
-            # (the reference's per-warp corrector break, :241-242).
+            # (the reference's per-warp corrector break, :241-242).  The
+            # corrector's parameter products are filled once: t is frozen
+            # (the reference reuses s_param_homotopy the same way).
+            _fill_P(c, pco, agq, tw(tc), rk=False)
             cw_re[:] = cur_re
             cw_im[:] = cur_im
             cfl[:] = jnp.zeros((3, T), jnp.float32)
 
             def corrector_iter():
                 donef_l = cfl[2:3]
-                dx = es((cw_re[:], cw_im[:]), tc, True, False)
+                dx = es((cw_re[:], cw_im[:]), pco, True)
                 live = 1.0 - donef_l
                 nr = cw_re[:] - live * dx[0]
                 ni = cw_im[:] - live * dx[1]
@@ -727,13 +855,14 @@ def build_kernel_caller(
     a multiple of ``tile``; coefs = 6 arrays (Q, Bp).  Grid iterates path
     tiles; a tile with no active lane skips its whole segment.
     """
-    kernel = _make_kernel(c, cfg, tile, n_iters)
+    kernel = _make_kernel(c, cfg, tile, n_iters, interpret=interpret)
     n = problem.num_vars
     width = n + 2
     q = c.q
+    kp = c.kp
     grid_consts = [
         jnp.asarray(a)
-        for a in (c.ohx23, c.ohx2g, c.ohx3g, c.ohq2, c.ohq3, c.chx, c.cht)
+        for a in (c.ohx23, c.ohx2g, c.ohx3g, c.ohq23, c.chx, c.cht, c.chtneg)
     ]
 
     def _const_spec(a):
@@ -762,8 +891,12 @@ def build_kernel_caller(
             pltpu.VMEM((n, width, tile), jnp.float32),  # sv_re
             pltpu.VMEM((n, width, tile), jnp.float32),  # sv_im
             pltpu.VMEM((n, tile), jnp.float32),         # used
-            pltpu.VMEM((3, c.k2, 2 * tile), jnp.float32),  # ag2 (wide)
-            pltpu.VMEM((3, c.k3, 2 * tile), jnp.float32),  # ag3 (wide)
+            pltpu.VMEM((width, tile), jnp.float32),     # xe_re (backsub)
+            pltpu.VMEM((width, tile), jnp.float32),     # xe_im
+            pltpu.VMEM((3, kp, 2 * tile), jnp.float32),  # agq (wide)
+            pltpu.VMEM((kp, 2 * tile), jnp.float32),    # px (combo scratch)
+            pltpu.VMEM((kp, 2 * tile), jnp.float32),    # prk (RK P cache)
+            pltpu.VMEM((kp, 2 * tile), jnp.float32),    # pco (corrector P)
             pltpu.VMEM((n, tile), jnp.float32),         # cw_re (corrector)
             pltpu.VMEM((n, tile), jnp.float32),         # cw_im
             pltpu.VMEM((3, tile), jnp.float32),         # cfl

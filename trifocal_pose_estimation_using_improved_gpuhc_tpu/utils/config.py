@@ -58,6 +58,12 @@ class HCConfig:
     # convergence statistics) can shift. Our strategy beyond the
     # reference's four (README.md:5); validated against the exact-RK4 mode.
     rk_jacobian_reuse: bool = False
+    # Evaluator matmul mode on TPU: "split3" computes every constant matmul
+    # as three 1-pass bf16 products of an exact f32 = hi+lo1+lo2 split
+    # (exact to f32 final rounding, ~2x faster than Precision.HIGHEST,
+    # which Mosaic lowers to ~6 bf16 passes); "highest" is the plain
+    # HIGHEST-precision path.  Interpret mode always uses plain f32.
+    eval_precision: str = "split3"
     # Tracker backend: "fused" = Pallas fused kernel (ops/fused.py, the
     # production path), "xla" = plain-JAX masked while_loop (ops/tracker.py,
     # the oracle / CPU-HC equivalent).
