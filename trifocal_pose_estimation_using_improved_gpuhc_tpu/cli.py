@@ -36,6 +36,9 @@ def main(argv=None) -> int:
     ap.add_argument("--abort", action="store_true",
                     help="Abort_RANSAC_by_Good_Sol: stop once a pose with "
                          ">=90%% inlier support is found on-device")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="shard hypotheses over the first N devices of the "
+                         "mesh (default: YAML Num_Of_GPUs, else 1)")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--output-dir", default="Output_Write_Files")
     ap.add_argument("--stream", action="store_true",
@@ -56,11 +59,27 @@ def main(argv=None) -> int:
     )
     from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import evaluation as evl
     from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+        DEFAULT_DATA_ROOT,
         EngineConfig,
         ProblemConfig,
+        load_problem_yaml,
     )
 
-    cfg = EngineConfig(problem=ProblemConfig(name=args.problem))
+    # Load the reference-format per-problem YAML when the problem folder
+    # carries one (cmd/magmaHC-main.cpp:243 does the same); CLI flags
+    # override its settings.
+    yaml_path = os.path.join(
+        args.data_root or DEFAULT_DATA_ROOT,
+        "problems", args.problem, "gpuhc_settings.yaml",
+    )
+    if os.path.exists(yaml_path):
+        cfg = load_problem_yaml(yaml_path)
+    else:
+        cfg = EngineConfig(problem=ProblemConfig(name=args.problem))
+    if args.devices is not None:
+        cfg = dataclasses.replace(
+            cfg, num_devices=args.devices if args.devices > 1 else None
+        )
     if args.abort:
         cfg = dataclasses.replace(
             cfg,
@@ -73,7 +92,9 @@ def main(argv=None) -> int:
     engine = TrifocalPoseEngine(cfg)
     print(f"[tpu-hc] problem: {args.problem}, "
           f"{engine.problem.num_tracks} tracks x "
-          f"{args.hypotheses or cfg.ransac.num_iterations} hypotheses")
+          f"{args.hypotheses or cfg.ransac.num_iterations} hypotheses"
+          + (f" over {cfg.num_devices} devices"
+             if (cfg.num_devices or 1) > 1 else ""))
 
     timings, all_stats, found_count, err_lines = [], [], 0, []
     view0 = engine.load_view(args.start_view)

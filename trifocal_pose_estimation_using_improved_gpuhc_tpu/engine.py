@@ -72,7 +72,39 @@ class TrifocalPoseEngine:
             # solver, reference CPU_HC_Solver.cpp); interpreted Pallas is
             # only for kernel-parity tests (TPUHC_FORCE_INTERPRET=1).
             backend = "xla"
-        if backend == "fused":
+        self._ndev = cfg.num_devices or 1
+        if self._ndev > 1:
+            # Hypothesis data parallelism over a device mesh: the exact
+            # integration point of the reference's multi-GPU sharding
+            # (GPU_HC_Solver.cpp:84-88); see parallel/mesh.py.
+            from trifocal_pose_estimation_using_improved_gpuhc_tpu.parallel import (
+                mesh as pmesh,
+            )
+
+            if self._ndev > len(jax.devices()):
+                raise ValueError(
+                    f"num_devices={self._ndev} > visible devices "
+                    f"{len(jax.devices())}"
+                )
+            m = pmesh.make_mesh(self._ndev)
+            if backend == "fused":
+                mb = (
+                    "segmented"
+                    if cfg.hc.compact_survivors
+                    or cfg.ransac.abort_by_good_sol
+                    else "fused"
+                )
+                self.track = pmesh.make_sharded_track_fn(
+                    self.problem, cfg.hc, m, backend=mb,
+                    interpret=interp, ransac_cfg=cfg.ransac,
+                    tile=cfg.hc.tile,
+                )
+                self._segmented = mb == "segmented"
+            else:
+                self.track = pmesh.make_sharded_track_fn(
+                    self.problem, cfg.hc, m, backend="xla"
+                )
+        elif backend == "fused":
             if cfg.hc.compact_survivors or cfg.ransac.abort_by_good_sol:
                 from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
                     segmented,
@@ -118,16 +150,21 @@ class TrifocalPoseEngine:
     ) -> RoundResult:
         cfg = self.cfg
         H = num_hypotheses or cfg.ransac.num_iterations
+        # Hypotheses pad up to the device count so every mesh shard owns
+        # whole hypotheses (the reference's static per-GPU split,
+        # GPU_HC_Solver.cpp:84-88); extras are real samples, sliced away
+        # after tracking.
+        Hp = -(-H // self._ndev) * self._ndev
         T = self.problem.num_tracks
         n_edgels = view.edge_locations.shape[0]
 
-        samples = ransac.sample_edgel_triplets(seed, n_edgels, H)
+        samples = ransac.sample_edgel_triplets(seed, n_edgels, Hp)
         tgt = ransac.build_target_params(
             view.edge_locations, view.edge_tangents, samples
         )
         tgt_b = np.repeat(tgt, T, axis=0)
         diff_b = tgt_b - self.problem.start_params
-        x0 = np.tile(np.asarray(self.problem.start_sols), (H, 1))
+        x0 = np.tile(np.asarray(self.problem.start_sols), (Hp, 1))
 
         # Host sampling + H2D staging are outside the timed span, matching
         # the reference: Prepare_Target_Params and the data transfer are
@@ -156,12 +193,13 @@ class TrifocalPoseEngine:
             # chunk reports a >=90%-support pose, the rest are skipped
             # entirely (the explicit form of the reference's serialised
             # late blocks seeing the abort flag, ...TrunRANSAC.cu:152).
-            chunk_h = min(cfg.ransac.abort_chunk, H)
-            n_chunks = -(-H // chunk_h)
+            chunk_h = min(cfg.ransac.abort_chunk, Hp)
+            chunk_h = -(-chunk_h // self._ndev) * self._ndev
+            n_chunks = -(-Hp // chunk_h)
             per = chunk_h * T
             chunks = []
             for ci in range(n_chunks):
-                lo, hi = ci * per, min((ci + 1) * per, H * T)
+                lo, hi = ci * per, min((ci + 1) * per, Hp * T)
                 args = [a[lo:hi] for a in host_args[:6]] + host_args[6:]
                 if hi - lo < per:  # ragged tail: pad with first paths
                     args[:6] = [
@@ -201,7 +239,7 @@ class TrifocalPoseEngine:
                     done = np.concatenate(
                         [done, np.full(pad_shape, fill, done.dtype)]
                     )
-                return done[: H * T]
+                return done[: H * T]  # ragged/device padding sliced away
 
             res = tracker.TrackResult(
                 x=(cat(0, 0.0) + 1j * cat(1, 0.0)).astype(np.complex64),
@@ -222,15 +260,17 @@ class TrifocalPoseEngine:
             t_track = time.perf_counter()
 
             if self._segmented:
-                xr, xi, conv, inf, pruned, steps, _found, _fp = out
+                xr, xi, conv, inf, pruned, steps = out[:6]
             else:
                 xr, xi, conv, inf, pruned, steps = out
             res = tracker.TrackResult(
-                x=(np.asarray(xr) + 1j * np.asarray(xi)).astype(np.complex64),
-                converged=np.asarray(conv),
-                inf_fail=np.asarray(inf),
-                pruned=np.asarray(pruned),
-                num_steps=np.asarray(steps),
+                x=(np.asarray(xr) + 1j * np.asarray(xi)).astype(
+                    np.complex64
+                )[: H * T],
+                converged=np.asarray(conv)[: H * T],
+                inf_fail=np.asarray(inf)[: H * T],
+                pruned=np.asarray(pruned)[: H * T],
+                num_steps=np.asarray(steps)[: H * T],
             )
 
         (stats, n_cand, best21, best31, found, best_pose,
@@ -306,6 +346,7 @@ class TrifocalPoseEngine:
 
     def _prep_host_args(self, view, seed: int, H: int):
         T = self.problem.num_tracks
+        H = -(-H // self._ndev) * self._ndev  # whole hypotheses per shard
         n_edgels = view.edge_locations.shape[0]
         samples = ransac.sample_edgel_triplets(seed, n_edgels, H)
         tgt = ransac.build_target_params(

@@ -17,8 +17,17 @@ so the equivalent is restructured:
   rotation, reprojection-inlier counts over every edgel for both view
   pairs, pass iff both ratios >= 0.90 (dev-trifocal_2op1p-eval.cuh:46-246
   semantics, vectorised as one (candidates x edgels) broadcast).  A hit
-  stops the whole batch at the next segment boundary -- *stronger* than the
-  reference, whose flag never crosses GPUs (SURVEY.md section 2.4).
+  stops the whole batch at the next segment boundary.
+
+* Under ``axis_name`` (hypothesis-sharded multi-chip execution through
+  parallel/mesh.py), the found-flag is all-reduced (max) across chips at
+  every segment boundary, so one chip's hit stops EVERY chip -- *stronger*
+  than the reference, whose abort flag never crosses GPUs
+  (...TrunRANSAC.cu:152 polls a per-GPU global; SURVEY.md section 2.4) --
+  and the best-support pose is selected with an all_gather + argmax
+  instead of the reference's host stacking loop (Evaluations.cpp:382-504).
+  The segment loop runs while ANY chip has active paths, keeping the trip
+  count uniform so the in-loop collective is legal.
 
 Everything (segment kernel, scoring, compaction, the while loop) lives in
 one jitted program; nothing returns to the host until tracking finishes.
@@ -45,9 +54,9 @@ from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
     RansacConfig,
 )
 
-# Converged candidates scored per segment (newly converged paths per
-# segment are few; the slots are filled by stable-sorting the "newly
-# converged" mask).
+# Converged candidates scored per segment.  Paths that converge in a
+# segment where the slots overflow stay marked un-scored and are picked up
+# at the next segment boundary, so no candidate is ever silently skipped.
 _SCORE_SLOTS = 128
 
 
@@ -56,7 +65,9 @@ class SegmentedResult(NamedTuple):
 
     track: TrackResult
     found: bool            # a >=90%-support pose was found on-device
-    found_path: int        # original path index of the first found pose (-1)
+    found_path: int        # global path index of the first found pose (-1)
+    best_support: int      # best min(n21, n31) among scored candidates (-1)
+    best_path: int         # global path index of that candidate (-1)
 
 
 def make_segmented_track_fn(
@@ -65,14 +76,19 @@ def make_segmented_track_fn(
     ransac_cfg: Optional[RansacConfig] = None,
     tile: int = 256,
     interpret: bool = False,
+    axis_name: Optional[str] = None,
 ):
     """Build the segmented tracking function.
 
     Returned ``track(x0, tgt, diff, edgels=None, intrinsics=None)`` ->
     SegmentedResult.  ``track.jitted`` takes f32 planes plus (edgels
     (E, 6), intrinsics (3, 3), num_edgels ()) and returns the plane tuple
-    + (found, found_path); edgel scoring runs only when ``ransac_cfg`` has
-    abort_by_good_sol set.
+    + (found, found_path, best_support, best_path); edgel scoring runs only
+    when ``ransac_cfg`` has abort_by_good_sol set.
+
+    axis_name: when the function runs per-shard under shard_map
+    (parallel/mesh.py), the name of the hypothesis mesh axis -- enables the
+    cross-chip abort all-reduce and global best-pose selection.
     """
     c = fused.FusedConstants.build(problem)
     seg = max(1, cfg.segment_steps)
@@ -100,18 +116,22 @@ def make_segmented_track_fn(
         t = fl[fused._F_T]
         return (t >= 1.0) | (1.0 - t <= cfg.t_converged_eps)
 
-    def _score_new(x_re, x_im, fl, scored, order, edgels, kmat, n_edgels):
-        """Score newly-converged paths; returns (found, found_path, scored).
+    def _score_new(x_re, x_im, fl, scored, order, best_supp, best_path,
+                   edgels, kmat, n_edgels):
+        """Score newly-converged paths.
 
+        Returns (found, found_path, scored, best_supp, best_path).
         Vectorised dev-trifocal_2op1p-eval.cuh:46-246: imag gate on the 12
         pose components, Cayley -> R (column-normalised), inlier counts
-        over all edgels for view pairs 1-2 and 1-3, both ratios >= 0.90.
+        over all edgels for view pairs 1-2 and 1-3, pass iff both ratios
+        >= 0.90.  Only paths actually placed into the scoring slots are
+        marked scored, so slot overflow defers (never drops) candidates.
         """
         newly = _converged(fl) & (scored < 0.5)
-        scored = jnp.maximum(scored, newly.astype(jnp.float32))
         # Stable-sort newly-converged paths into the scoring slots.
         sidx = jnp.argsort(~newly, stable=True)[:_SCORE_SLOTS]
         valid = newly[sidx]
+        scored = scored.at[sidx].max(valid.astype(jnp.float32))
         pr = x_re[pose_rows][:, sidx]   # (12, S) real parts
         pi = x_im[pose_rows][:, sidx]
         gate = jnp.max(jnp.abs(pi), axis=0) < imag_tol
@@ -135,7 +155,14 @@ def make_segmented_track_fn(
         found = jnp.any(hit)
         first = jnp.argmax(hit)
         found_path = jnp.where(found, order[sidx[first]], -1)
-        return found, found_path, scored
+        # Running best-support candidate (on-device maximal-support
+        # selection; host scoring stays the authoritative full gate).
+        smin = jnp.where(valid & gate, jnp.minimum(n21, n31), -1)
+        sbest = jnp.argmax(smin)
+        better = smin[sbest] > best_supp
+        best_supp = jnp.where(better, smin[sbest], best_supp)
+        best_path = jnp.where(better, order[sidx[sbest]], best_path)
+        return found, found_path, scored, best_supp, best_path
 
     def _compact(arrays, active, t):
         """Pack active paths to the front, ordered by tracking progress.
@@ -148,7 +175,6 @@ def make_segmented_track_fn(
         order_idx = jnp.argsort(key, stable=True)
         return [jnp.take(a, order_idx, axis=1) for a in arrays], order_idx
 
-    @jax.jit
     def _track_planes(x0_re, x0_im, tgt_re, tgt_im, diff_re, diff_im,
                       edgels, kmat, n_edgels):
         B = x0_re.shape[0]
@@ -175,19 +201,35 @@ def make_segmented_track_fn(
         scored = jnp.zeros((Bp,), jnp.float32)
         found = jnp.array(False)
         found_path = jnp.array(-1, jnp.int32)
+        best_supp = jnp.array(-1, jnp.int32)
+        best_path = jnp.array(-1, jnp.int32)
 
         def cond(carry):
             (si, x_re, x_im, xl_re, xl_im, fl, coefs, order, scored,
-             found, found_path) = carry
-            any_active = jnp.any(_active(fl))
-            keep = any_active & (si < n_segments)
+             found, found_path, best_supp, best_path) = carry
+            keep = jnp.any(_active(fl)) & (si < n_segments)
+            if axis_name is None:
+                if abort:
+                    keep = keep & (~found)
+                return keep
+            # Cross-chip TrunRANSAC: one all-reduce(max) per segment
+            # boundary carries [any-chip-still-active, any-chip-found];
+            # the loop keeps a uniform trip count across the mesh and one
+            # chip's hit stops every chip (stronger than the reference's
+            # per-GPU flag, ...TrunRANSAC.cu:152).
+            packed = jnp.stack(
+                [keep.astype(jnp.int32),
+                 (found if abort else jnp.array(False)).astype(jnp.int32)]
+            )
+            packed = jax.lax.pmax(packed, axis_name)
+            keep_g = packed[0] > 0
             if abort:
-                keep = keep & (~found)
-            return keep
+                keep_g = keep_g & (packed[1] == 0)
+            return keep_g
 
         def body(carry):
             (si, x_re, x_im, xl_re, xl_im, fl, coefs, order, scored,
-             found, found_path) = carry
+             found, found_path, best_supp, best_path) = carry
             remaining = jnp.minimum(
                 jnp.int32(cfg.max_steps + 1) - si.astype(jnp.int32) * seg,
                 seg,
@@ -197,8 +239,9 @@ def make_segmented_track_fn(
                 niter=remaining[None],
             )
             if abort:
-                f2, fp2, scored = _score_new(
-                    x_re, x_im, fl, scored, order, edgels, kmat, n_edgels
+                f2, fp2, scored, best_supp, best_path = _score_new(
+                    x_re, x_im, fl, scored, order, best_supp, best_path,
+                    edgels, kmat, n_edgels
                 )
                 found_path = jnp.where(found, found_path, fp2)
                 found = found | f2
@@ -215,12 +258,13 @@ def make_segmented_track_fn(
                 order = arrays[11][0]
                 scored = arrays[12][0]
             return (si + 1, x_re, x_im, xl_re, xl_im, fl, coefs, order,
-                    scored, found, found_path)
+                    scored, found, found_path, best_supp, best_path)
 
         carry = (jnp.array(0), x_re, x_im, x_re, x_im, fl, coefs, order,
-                 scored, found, found_path)
+                 scored, found, found_path, best_supp, best_path)
         carry = jax.lax.while_loop(cond, body, carry)
-        (_, x_re, x_im, _, _, fl, _, order, _, found, found_path) = carry
+        (_, x_re, x_im, _, _, fl, _, order, _,
+         found, found_path, best_supp, best_path) = carry
 
         # Undo compaction, drop padding, restore variable order.
         unperm = jnp.argsort(order)
@@ -229,9 +273,34 @@ def make_segmented_track_fn(
         fl = jnp.take(fl, unperm, axis=1)
         xr = x_re[inv][:, :B].T
         xi = x_im[inv][:, :B].T
+
+        if axis_name is not None:
+            # Global result selection (replaces the reference's host-side
+            # result stacking + scan, GPU_HC_Solver.cpp:494-506 +
+            # Evaluations.cpp:382-504): local path ids become global via
+            # the shard offset, then an all_gather + argmax picks the
+            # first finder and the maximal-support candidate.
+            ai = jax.lax.axis_index(axis_name)
+            off = ai.astype(jnp.int32) * jnp.int32(B)
+            gfp = jnp.where(found_path >= 0, found_path + off, -1)
+            gbp = jnp.where(best_path >= 0, best_path + off, -1)
+            founds = jax.lax.all_gather(found, axis_name)
+            fps = jax.lax.all_gather(gfp, axis_name)
+            supps = jax.lax.all_gather(best_supp, axis_name)
+            bps = jax.lax.all_gather(gbp, axis_name)
+            fdev = jnp.argmax(founds)
+            found = jnp.any(founds)
+            found_path = jnp.where(found, fps[fdev], -1)
+            bdev = jnp.argmax(supps)
+            best_supp = supps[bdev]
+            best_path = bps[bdev]
+
         return (xr, xi) + fused.flags_outputs(cfg, fl, B) + (
-            found, found_path
+            found, found_path, best_supp, best_path
         )
+
+    if axis_name is None:
+        _track_planes = jax.jit(_track_planes)
 
     def track(x0, target_params, diff_params, edgels=None,
               intrinsics=None, n_edgels=None) -> SegmentedResult:
@@ -250,7 +319,8 @@ def make_segmented_track_fn(
             np.asarray(edgels, f32), np.asarray(intrinsics, f32),
             np.float32(n_edgels if n_edgels is not None else len(edgels)),
         )
-        xr, xi, conv, inf, pruned, steps, found, found_path = out
+        (xr, xi, conv, inf, pruned, steps,
+         found, found_path, best_supp, best_path) = out
         x = np.asarray(xr) + 1j * np.asarray(xi)
         return SegmentedResult(
             track=TrackResult(
@@ -262,6 +332,8 @@ def make_segmented_track_fn(
             ),
             found=bool(np.asarray(found)),
             found_path=int(np.asarray(found_path)),
+            best_support=int(np.asarray(best_supp)),
+            best_path=int(np.asarray(best_path)),
         )
 
     track.jitted = _track_planes

@@ -154,4 +154,10 @@ def load_problem_yaml(path: str) -> EngineConfig:
         abort_by_good_sol=bool(doc.get("Abort_RANSAC_by_Good_Sol", False)),
         dataset=str(doc.get("RANSAC_Dataset", "Synthetic")),
     )
-    return EngineConfig(problem=prob, hc=hc, ransac=ransac)
+    # Num_Of_GPUs (gpuhc_settings.yaml:9) maps to the hypothesis-mesh device
+    # count (parallel/mesh.py); 1 keeps the single-chip path.
+    ndev = int(doc.get("Num_Of_GPUs", 1))
+    return EngineConfig(
+        problem=prob, hc=hc, ransac=ransac,
+        num_devices=ndev if ndev > 1 else None,
+    )
