@@ -39,3 +39,42 @@ def test_run_stream_matches_run_round(engine):
     assert results[0].stats.num_converged == rr.stats.num_converged
     assert results[0].num_candidates == rr.num_candidates
     assert results[0].best_support21 == rr.best_support21
+
+
+def test_ef_matrix_utilities(cfg):
+    """Skew/essential/fundamental builders (util.hpp:155-228): the GT pose's
+    F satisfies the epipolar constraint on the view's correspondences."""
+    import jax.numpy as jnp
+
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.models import (
+        trifocal as tfm,
+    )
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import (
+        data_io,
+        evaluation as evl,
+    )
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+        ransac_data_dir,
+    )
+
+    t = np.array([1.0, -2.0, 3.0])
+    sk = np.asarray(tfm.skew_symmetric(jnp.asarray(t)))
+    v = np.array([0.5, 0.25, -1.0])
+    np.testing.assert_allclose(sk @ v, np.cross(t, v), atol=1e-6)
+
+    d = ransac_data_dir(cfg)
+    view = data_io.load_ransac_view(d, 0)
+    k = data_io.load_intrinsic_matrix(d)
+    r21, t21 = evl.decompose_gt_pose(view.gt_pose21)
+    f = np.asarray(
+        tfm.fundamental_matrix(jnp.asarray(r21), jnp.asarray(t21),
+                               jnp.asarray(k))
+    )
+    # Epipolar residuals of the GT correspondences in pixel coordinates.
+    g1 = view.edge_locations[:64, 0:2]
+    g2 = view.edge_locations[:64, 2:4]
+    p1 = np.concatenate([g1, np.ones((64, 1))], axis=1) @ k.T
+    p2 = np.concatenate([g2, np.ones((64, 1))], axis=1) @ k.T
+    resid = np.abs(np.einsum("ni,ij,nj->n", p2, f, p1))
+    scale = np.abs(np.einsum("ni,ij,nj->n", p2, f, p1 * 0 + 1)).mean() + 1.0
+    assert np.median(resid) / scale < 1e-3

@@ -66,3 +66,41 @@ def test_p2c_rejects_wrong_tables(problem, cfg, tmp_path):
     np.savetxt(tmp_path / "dHdx_indx_P2C.txt", flat.reshape(raw.shape), fmt="%d")
     with pytest.raises(ValueError, match="table interpretation mismatch"):
         p2c.derive_coeff_map(problem, str(tmp_path), samples=8)
+
+
+@pytest.mark.slow
+def test_p2c_fused_tracking_matches_ph(cfg, problem, p2c_tables):
+    """The P2C variant on the production fused kernel tracks like PH.
+
+    Identical homotopy expressed through the coefficient tables, so step
+    counts agree up to threshold-level float noise."""
+    import dataclasses
+
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
+        p2c as p2c_mod,
+        ransac,
+        tracker,
+    )
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import data_io
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+        ransac_data_dir,
+    )
+
+    view = data_io.load_ransac_view(ransac_data_dir(cfg), 0)
+    T = 32
+    samples = ransac.sample_edgel_triplets(0, view.edge_locations.shape[0], 1)
+    tgt = ransac.build_target_params(
+        view.edge_locations, view.edge_tangents, samples
+    )
+    tgt_b = np.repeat(tgt, T, axis=0)
+    diff_b = tgt_b - np.asarray(problem.start_params)
+    x0 = np.asarray(problem.start_sols)[:T]
+    hc = dataclasses.replace(cfg.hc, max_steps=12)
+
+    ro = tracker.make_track_fn(problem, hc)(x0, tgt_b, diff_b)
+    tr = p2c_mod.make_fused_p2c_track_fn(
+        problem, p2c_tables, hc, tile=32, interpret=True
+    )
+    rp = tr(x0, tgt_b, diff_b)
+    assert (rp.num_steps == ro.num_steps).mean() >= 0.95
+    assert (rp.pruned == ro.pruned).mean() >= 0.95

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Statistical reconciliation against the reference's committed sample run.
+
+Reproduces the reference's EXACT workload -- view 0, srand(0) glibc
+sampling with its duplicate-check quirk, 100 hypotheses x 312 paths -- and
+compares our tracker's converged / real / infinity counts to the committed
+outputs (note both reference writers swap the real and infinity columns at
+collection time, GPU_HC_Solver.cpp:522-524 / CPU_HC_Solver.cpp:261-263, so
+the files read as [converged, real, infinity]):
+
+  GPU_Sols_Statistics.txt: 272 / 5 / 495      (TrunPaths GPU kernel)
+  CPU_Sols_Statistics.txt: 11098 / 521 / 6577 (CPU solver, NO TrunPaths)
+
+Run with no args on TPU (fused kernel) or --platform cpu (oracle tracker).
+"""
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu"])
+    ap.add_argument("--hypotheses", type=int, default=100)
+    args = ap.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.engine import (
+        TrifocalPoseEngine,
+    )
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import ransac
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import (
+        evaluation as evl,
+    )
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+        EngineConfig,
+    )
+
+    H = args.hypotheses
+    for trun in (False, True):
+        cfg = EngineConfig()
+        cfg = dataclasses.replace(
+            cfg, hc=dataclasses.replace(cfg.hc, truncate_paths=trun)
+        )
+        eng = TrifocalPoseEngine(cfg)
+        view = eng.load_view(0)
+        T = eng.problem.num_tracks
+        n_edgels = view.edge_locations.shape[0]
+        samples = ransac.sample_edgel_triplets_reference(0, n_edgels, H)
+        tgt = ransac.build_target_params(
+            view.edge_locations, view.edge_tangents, samples
+        )
+        tgt_b = np.repeat(tgt, T, axis=0)
+        diff_b = tgt_b - eng.problem.start_params
+        x0 = np.tile(np.asarray(eng.problem.start_sols), (H, 1))
+        if getattr(eng, "_segmented", False):
+            res = eng.track(x0, tgt_b, diff_b).track
+        else:
+            res = eng.track(x0, tgt_b, diff_b)
+        stats = evl.collect_stats(
+            res.x, res.converged, res.inf_fail, cfg.ransac
+        )
+        which = "TrunPaths ON (GPU kernel mode) " if trun else \
+                "TrunPaths OFF (CPU solver mode)"
+        refv = "272 / 5 / 495" if trun else "11098 / 521 / 6577"
+        print(f"{which}: conv {stats.num_converged} real {stats.num_real} "
+              f"inf {stats.num_infinity} pruned {int(res.pruned.sum())} "
+              f"of {H * T}   [reference sample: {refv}]")
+
+
+if __name__ == "__main__":
+    main()

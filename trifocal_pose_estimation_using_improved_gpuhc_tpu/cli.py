@@ -41,6 +41,10 @@ def main(argv=None) -> int:
                          "mesh (default: YAML Num_Of_GPUs, else 1)")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--output-dir", default="Output_Write_Files")
+    ap.add_argument("--ablation", action="store_true",
+                    help="emit the strategy-ablation timing table "
+                         "(P2C vs PH vs +TrunPaths vs +compaction vs "
+                         "+TrunRANSAC), the arxived_GPU_code ladder")
     ap.add_argument("--stream", action="store_true",
                     help="streamed recovery: pipeline host prep/scoring of "
                          "one view with device tracking of the next")
@@ -89,6 +93,9 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, data_root=args.data_root)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    if args.ablation:
+        return run_ablation(cfg, args)
+
     engine = TrifocalPoseEngine(cfg)
     print(f"[tpu-hc] problem: {args.problem}, "
           f"{engine.problem.num_tracks} tracks x "
@@ -121,11 +128,16 @@ def main(argv=None) -> int:
         import jax
 
         prof_ctx = jax.profiler.trace(args.profile)
+    last_rr = None
     with prof_ctx:
         for vi in range(args.start_view, args.start_view + args.views):
             view = engine.load_view(vi)
             for ti in range(args.times):
-                rr = engine.run_round(view, seed=ti, num_hypotheses=args.hypotheses)
+                rr = engine.run_round(
+                    view, seed=ti, num_hypotheses=args.hypotheses,
+                    collect_solutions=True,
+                )
+                last_rr = rr
                 timings.append(rr.track_ms)
                 all_stats.append(rr.stats)
                 if rr.found_pose:
@@ -162,6 +174,25 @@ def main(argv=None) -> int:
     evl.write_sols_statistics(
         os.path.join(args.output_dir, "GPU_Sols_Statistics.txt"), all_stats
     )
+    # Converged tracks + HC-steps files for the final round (the reference
+    # writes these inside its active flow: GPU_HC_Solver.cpp:510 and
+    # cmd/magmaHC-main.cpp:106-116 -> Evaluations.cpp:120-143, :506-521).
+    if last_rr is not None:
+        sols = last_rr.solutions
+        evl.write_converged_sols(
+            os.path.join(args.output_dir, "GPU_Converged_HC_tracks.txt"),
+            sols.x, sols.converged, engine.problem.num_tracks,
+        )
+        evl.write_hc_steps(
+            os.path.join(args.output_dir,
+                         "GPUHC_Steps_of_Actual_Solutions.txt"),
+            last_rr.actual_sol_steps,
+        )
+        uniq = evl.find_unique_solutions(
+            sols.x, sols.converged, tol=cfg.ransac.duplicate_sol_tol
+        )
+        print(f" - Unique converged solutions (final round): {uniq.size}"
+              f" of {int(sols.converged.sum())}")
 
     if args.cross_check:
         import jax
@@ -170,11 +201,15 @@ def main(argv=None) -> int:
         cpu_cfg = dataclasses.replace(
             cfg, hc=dataclasses.replace(cfg.hc, backend="xla")
         )
+        # 2 hypotheses (624 paths) keep the CPU oracle's full-step-budget
+        # run to ~2 min; agreement statistics do not need more paths.
+        h_cc = min(args.hypotheses or 2, 2)
+        rr_gpu = engine.run_round(view0, seed=0, num_hypotheses=h_cc,
+                                  collect_solutions=True)
         with jax.default_device(jax.devices("cpu")[0]):
             cpu_engine = TrifocalPoseEngine(cpu_cfg)
-            rr = cpu_engine.run_round(
-                view0, seed=0, num_hypotheses=min(args.hypotheses or 8, 8)
-            )
+            rr = cpu_engine.run_round(view0, seed=0, num_hypotheses=h_cc,
+                                      collect_solutions=True)
         print(
             f"cpu-hc: conv {rr.stats.num_converged}, cand {rr.num_candidates}, "
             f"support {rr.best_support21}/{rr.best_support31} of {rr.num_edgels}"
@@ -182,6 +217,90 @@ def main(argv=None) -> int:
         evl.write_sols_statistics(
             os.path.join(args.output_dir, "CPU_Sols_Statistics.txt"), [rr.stats]
         )
+        evl.write_converged_sols(
+            os.path.join(args.output_dir, "CPU_Converged_HC_tracks.txt"),
+            rr.solutions.x, rr.solutions.converged,
+            cpu_engine.problem.num_tracks,
+        )
+        # The reference's correctness story is this dual-solver agreement
+        # (SURVEY.md section 4); assert it instead of eyeballing.  Identical
+        # inputs, so flags may differ only by threshold-level float noise.
+        n_paths = h_cc * engine.problem.num_tracks
+        dis = int(
+            (rr_gpu.solutions.converged != rr.solutions.converged).sum()
+        )
+        tol_paths = max(5, int(0.02 * n_paths))
+        sup_tol = max(10, int(0.01 * rr.num_edgels))
+        ok = (
+            dis <= tol_paths
+            and abs(rr_gpu.best_support21 - rr.best_support21) <= sup_tol
+            and abs(rr_gpu.best_support31 - rr.best_support31) <= sup_tol
+        )
+        print(f"[cross-check] converged-flag disagreements: {dis}/{n_paths} "
+              f"(tol {tol_paths}); support "
+              f"{rr_gpu.best_support21}/{rr_gpu.best_support31} vs "
+              f"{rr.best_support21}/{rr.best_support31} -> "
+              f"{'AGREE' if ok else 'MISMATCH'}")
+        if not ok:
+            print("[cross-check] FAILED: device and CPU-HC results diverge")
+            return 1
+    return 0
+
+
+def run_ablation(cfg, args) -> int:
+    """The reference's incremental-optimization ladder, one invocation.
+
+    Reproduces arxived_GPU_code/README_arxived_GPU_code.md:4-9 on the
+    production fused kernel: the P2C baseline and every PH strategy run as
+    config variants of ONE kernel (the reference archived five separate
+    CUDA kernels).  Timing span = path tracking only, like the reference.
+    """
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.engine import (
+        TrifocalPoseEngine,
+    )
+
+    H = args.hypotheses or cfg.ransac.num_iterations
+    variants = [
+        ("P2C baseline (coefficient tables)",
+         dict(backend="p2c", truncate_paths=False, compact_survivors=False),
+         dict()),
+        ("PH (direct parameter homotopy)",
+         dict(backend="fused", truncate_paths=False,
+              compact_survivors=False),
+         dict()),
+        ("PH + TrunPaths (depth pruning)",
+         dict(backend="fused", truncate_paths=True,
+              compact_survivors=False),
+         dict()),
+        ("PH + TrunPaths + compaction (production)",
+         dict(backend="fused", truncate_paths=True, compact_survivors=True),
+         dict()),
+        ("PH + TrunPaths + compaction + TrunRANSAC",
+         dict(backend="fused", truncate_paths=True, compact_survivors=True),
+         dict(abort_by_good_sol=True)),
+    ]
+    print(f"## Strategy ablation: view {args.start_view}, {H} hypotheses "
+          f"x {cfg.problem.num_tracks} paths "
+          f"(last row times to the accepted pose)")
+    print(f"{'variant':44s} {'best ms':>9} {'conv':>6} {'found':>6}")
+    rows = []
+    for name, hc_over, rc_over in variants:
+        vcfg = dataclasses.replace(
+            cfg,
+            hc=dataclasses.replace(cfg.hc, **hc_over),
+            ransac=dataclasses.replace(cfg.ransac, **rc_over),
+        )
+        eng = TrifocalPoseEngine(vcfg)
+        view = eng.load_view(args.start_view)
+        eng.run_round(view, seed=0, num_hypotheses=H)  # compile
+        best, conv, found = 1e30, 0, False
+        for seed in range(max(2, args.times)):
+            rr = eng.run_round(view, seed=seed, num_hypotheses=H)
+            if rr.track_ms < best:
+                best, conv, found = rr.track_ms, rr.stats.num_converged,                     rr.found_pose
+        rows.append((name, best, conv, found))
+        print(f"{name:44s} {best:9.1f} {conv:6d} {str(found):>6}",
+              flush=True)
     return 0
 
 

@@ -56,6 +56,20 @@ class RoundResult:
     pose_errors: Optional[evl.PoseErrors]
     best_pose: Optional[tuple]  # (R21, R31, t21, t31) numpy
     num_steps: np.ndarray     # per-path HC step counts
+    # HC step counts of the maximal-support solutions: the union of the
+    # candidates tying max support on pair 1-2 and on pair 1-3
+    # (Evaluations.cpp:506-521 semantics, via get_Solution_with_Maximal_Support).
+    actual_sol_steps: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int32)
+    )
+    # Fundamental matrices of the candidate poses (Evaluations.cpp:298-358
+    # collects F21/F31 per converged candidate): (n_cand, 3, 3) each.
+    cand_f21: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3, 3), np.float32)
+    )
+    cand_f31: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3, 3), np.float32)
+    )
 
 
 class TrifocalPoseEngine:
@@ -104,6 +118,21 @@ class TrifocalPoseEngine:
                 self.track = pmesh.make_sharded_track_fn(
                     self.problem, cfg.hc, m, backend="xla"
                 )
+        elif backend == "p2c":
+            # The P2C ablation variant on the production fused kernel
+            # (ops/p2c.py; the reference's archived baseline strategy).
+            from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
+                p2c,
+            )
+            from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+                problem_dir,
+            )
+
+            tables = p2c.derive_coeff_map(self.problem, problem_dir(cfg))
+            self.track = p2c.make_fused_p2c_track_fn(
+                self.problem, tables, cfg.hc, tile=cfg.hc.tile,
+                interpret=interp,
+            )
         elif backend == "fused":
             if cfg.hc.compact_survivors or cfg.ransac.abort_by_good_sol:
                 from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
@@ -207,7 +236,12 @@ class TrifocalPoseEngine:
                         for a in args[:6]
                     ]
                 chunks.append([jax.device_put(a) for a in args])
-            jax.block_until_ready(chunks)
+            # Force staging completion with a tiny d2h read per chunk:
+            # block_until_ready returns without blocking on some TPU
+            # runtimes (same fence as the non-abort path below), so the
+            # timed span provably excludes H2D staging.
+            for ch in chunks:
+                np.asarray(ch[0][:1, :1])
 
             t_start = time.perf_counter()
             # Speculative pipeline: dispatch chunk i+1 before reading chunk
@@ -274,7 +308,7 @@ class TrifocalPoseEngine:
             )
 
         (stats, n_cand, best21, best31, found, best_pose,
-         pose_errors) = self._score_round(view, res)
+         pose_errors, actual_steps, f21s, f31s) = self._score_round(view, res)
         t_end = time.perf_counter()
 
         rr = RoundResult(
@@ -289,6 +323,9 @@ class TrifocalPoseEngine:
             pose_errors=pose_errors,
             best_pose=best_pose,
             num_steps=res.num_steps,
+            actual_sol_steps=actual_steps,
+            cand_f21=f21s,
+            cand_f31=f31s,
         )
         if collect_solutions:
             rr.solutions = res  # type: ignore[attr-defined]
@@ -318,6 +355,8 @@ class TrifocalPoseEngine:
         found = False
         pose_errors = None
         best_pose = None
+        actual_steps = np.zeros(0, np.int32)
+        f21s = f31s = np.zeros((0, 3, 3), np.float32)
         if n_cand:
             xs = _pad_to(
                 res.x[cand_idx].real.astype(np.float32), _CANDIDATE_CAP
@@ -342,7 +381,31 @@ class TrifocalPoseEngine:
                 r21[bi], r31[bi], t21[bi], t31[bi],
                 view.gt_pose21, view.gt_pose31,
             )
-        return stats, n_cand, best21, best31, found, best_pose, pose_errors
+            # "Actual solutions": candidates tying the maximal support on
+            # either view pair (Evaluations.cpp:457-504 index vectors,
+            # union at :512-515); their HC step counts feed the
+            # *HC_Steps_of_Actual_Solutions.txt writer.
+            mx = cand_idx[: min(n_cand, _CANDIDATE_CAP)]
+            actual = np.union1d(
+                mx[n21 == n21.max()], mx[n31 == n31.max()]
+            )
+            actual_steps = res.num_steps[actual].astype(np.int32)
+            nc = min(n_cand, _CANDIDATE_CAP)
+            # Host numpy: 3x3 work on <=512 candidates (eager device ops
+            # here would cost seconds of tunnel round trips per round).
+            kinv = np.linalg.inv(self._intrinsics)
+
+            def _fmats(r, t):
+                sk = np.zeros((len(t), 3, 3), np.float32)
+                sk[:, 0, 1], sk[:, 0, 2] = -t[:, 2], t[:, 1]
+                sk[:, 1, 0], sk[:, 1, 2] = t[:, 2], -t[:, 0]
+                sk[:, 2, 0], sk[:, 2, 1] = -t[:, 1], t[:, 0]
+                return kinv.T @ (sk @ r) @ kinv
+
+            f21s = _fmats(r21[:nc], t21[:nc])
+            f31s = _fmats(r31[:nc], t31[:nc])
+        return (stats, n_cand, best21, best31, found, best_pose,
+                pose_errors, actual_steps, f21s, f31s)
 
     def _prep_host_args(self, view, seed: int, H: int):
         T = self.problem.num_tracks
@@ -398,11 +461,11 @@ class TrifocalPoseEngine:
         def dispatch(view, s):
             dev = [jax.device_put(a)
                    for a in self._prep_host_args(view, s, H)]
-            return self.track.jitted(*dev)
+            return self.track.jitted(*dev), time.perf_counter()
 
         t0 = time.perf_counter()
         results = []
-        pending = dispatch(views[0], seed)
+        pending, t_disp = dispatch(views[0], seed)
         for i, vi in enumerate(view_indices):
             view = views[i]
             if i + 1 < len(view_indices):
@@ -411,18 +474,24 @@ class TrifocalPoseEngine:
             else:
                 nxt = None
             res = self._out_to_result(pending)  # d2h sync for view i
-            (stats, n_cand, b21, b31, found, pose, perr) = self._score_round(
-                view, res
-            )
+            t_done = time.perf_counter()
+            # Pipeline latency of this view: dispatch -> results on host
+            # (overlaps the next view's tracking by design).
+            view_ms = (t_done - t_disp) * 1e3
+            (stats, n_cand, b21, b31, found, pose, perr,
+             actual_steps, f21s, f31s) = self._score_round(view, res)
             results.append(RoundResult(
-                stats=stats, track_ms=0.0, total_ms=0.0,
+                stats=stats, track_ms=view_ms,
+                total_ms=(time.perf_counter() - t_disp) * 1e3,
                 num_candidates=n_cand, best_support21=b21,
                 best_support31=b31,
                 num_edgels=view.edge_locations.shape[0],
                 found_pose=found, pose_errors=perr, best_pose=pose,
                 num_steps=res.num_steps,
+                actual_sol_steps=actual_steps,
             ))
-            pending = nxt
+            if nxt is not None:
+                pending, t_disp = nxt
         total_s = time.perf_counter() - t0
         return results, len(view_indices) / total_s
 

@@ -267,6 +267,33 @@ def cayley_to_rotation(r: jnp.ndarray) -> jnp.ndarray:
     return m / col_norm
 
 
+def skew_symmetric(t: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric cross-product matrix [t]_x (..., 3) -> (..., 3, 3)
+    (util.hpp:155-166)."""
+    z = jnp.zeros_like(t[..., 0])
+    return jnp.stack(
+        [
+            z, -t[..., 2], t[..., 1],
+            t[..., 2], z, -t[..., 0],
+            -t[..., 1], t[..., 0], z,
+        ],
+        axis=-1,
+    ).reshape(t.shape[:-1] + (3, 3))
+
+
+def essential_matrix(r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """E = [t]_x R (util.hpp:211-215); broadcasts over leading dims."""
+    return skew_symmetric(t) @ r
+
+
+def fundamental_matrix(
+    r: jnp.ndarray, t: jnp.ndarray, k: jnp.ndarray
+) -> jnp.ndarray:
+    """F = K^-T E K^-1 (util.hpp:217-228)."""
+    kinv = jnp.linalg.inv(k)
+    return jnp.swapaxes(kinv, -1, -2) @ essential_matrix(r, t) @ kinv
+
+
 def solution_to_pose(
     x: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:

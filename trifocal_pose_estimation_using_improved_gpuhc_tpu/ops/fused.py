@@ -1051,6 +1051,7 @@ def make_track_fn(
     tile: int = 256,
     interpret: bool = False,
     dynamic_start: bool = False,
+    coef_builder=None,
 ):
     """Build the fused path-tracking function (ops/tracker.py-compatible).
 
@@ -1082,7 +1083,12 @@ def make_track_fn(
                 )
             return a.T
 
-        if dynamic_start:
+        if coef_builder is not None:
+            # Alternative homotopy parameterisations (e.g. the P2C
+            # coefficient homotopy, ops/p2c.py) supply their own per-path
+            # quadratic product coefficients; the kernel is agnostic.
+            coefs = coef_builder(diff_re, diff_im, Bp, tgt_re, tgt_im)
+        elif dynamic_start:
             coefs = build_pair_coefs(
                 problem, diff_re, diff_im, Bp, tgt_re, tgt_im
             )

@@ -89,11 +89,19 @@ def derive_coeff_map(problem: TrifocalProblem, problem_dir: str,
     so each sample yields c(p) by least squares, and stacking samples gives
     the linear map from pair products P(p) to c.
     """
+    import jax
+
     f = problem.factored
     hx_t, ht_t = load_p2c_tables(problem_dir, problem.num_vars)
     n_coeffs = int(max(hx_t[..., 1].max(), ht_t[..., 1].max())) + 1
     rng = np.random.default_rng(rng_seed)
     V = problem.num_vars
+
+    # The PH-evaluator probes use complex64 device arrays; run them on the
+    # CPU backend (complex arrays cannot cross the host<->device boundary
+    # on some TPU runtimes).
+    _cpu = jax.default_device(jax.devices("cpu")[0])
+    _cpu.__enter__()
 
     # Several fixed generic x's make the coefficient system uniquely
     # determined (one x leaves a null space, and an inconsistent per-sample
@@ -131,6 +139,7 @@ def derive_coeff_map(problem: TrifocalProblem, problem_dir: str,
             f"P2C tables do not reproduce the PH evaluation (residual "
             f"{max_res:.2e}): table interpretation mismatch"
         )
+    _cpu.__exit__(None, None, None)
     C = np.stack(c_rows)           # (S, n_coeffs)
     P = np.stack(p_rows)           # (S, Q)
     M, *_ = np.linalg.lstsq(P, C, rcond=None)  # (Q, n_coeffs)
@@ -139,6 +148,102 @@ def derive_coeff_map(problem: TrifocalProblem, problem_dir: str,
         ht=ht_t.astype(np.int32),
         n_coeffs=n_coeffs,
         coeff_map=M.T.astype(np.complex64),
+    )
+
+
+def make_p2c_problem(problem: TrifocalProblem, tables: P2CTables) -> TrifocalProblem:
+    """Recast the P2C tables as a TrifocalProblem in COEFFICIENT space.
+
+    The P2C strategy's "parameters" are the 37 precomputed coefficients;
+    each table term [c_int, c_idx, v...] becomes a PH-format term
+    [c_int, c_idx, const_slot, v...] (the coefficient paired with the
+    constant-1 parameter slot).  The monomial factoring, the static solve
+    schedule, and the fused Pallas kernel then apply UNCHANGED -- the only
+    P2C-specific piece is the per-path quadratic coefficient polynomials
+    (make_fused_p2c_track_fn).  This completes the papers' PH-vs-P2C
+    ablation on the production kernel (the reference archived the P2C
+    kernels without the params->coefficients conversion,
+    arxived_GPU_code/README_arxived_GPU_code.md:4-9).
+    """
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.models.trifocal import (
+        _factor_tables,
+    )
+
+    V = problem.num_vars
+    C = tables.n_coeffs
+    hx_t, ht_t = tables.hx, tables.ht
+    terms_x = hx_t.shape[2]
+    terms_t = ht_t.shape[1]
+    hx5 = np.zeros((V, V, terms_x, 5), np.int64)
+    hx5[..., 0] = hx_t[..., 0]
+    hx5[..., 1] = hx_t[..., 1]
+    hx5[..., 2] = C                     # constant-1 parameter slot
+    hx5[..., 3] = hx_t[..., 2]
+    hx5[..., 4] = hx_t[..., 3]
+    ht6 = np.zeros((V, terms_t, 6), np.int64)
+    ht6[..., 0] = ht_t[..., 0]
+    ht6[..., 1] = ht_t[..., 1]
+    ht6[..., 2] = C
+    ht6[..., 3] = ht_t[..., 2]
+    ht6[..., 4] = ht_t[..., 3]
+    ht6[..., 5] = ht_t[..., 4]
+
+    # models.trifocal._factor_tables expects the Data_Reader layouts
+    # (var, term, part, eq) / (term, part, eq) (data_io.load_problem_data).
+    hx5 = hx5.transpose(1, 2, 3, 0)
+    ht6 = ht6.transpose(1, 2, 0)
+    start_p = np.asarray(problem.start_params)
+    c_start = tables.coeff_map @ _pair_products(problem, start_p)
+    return TrifocalProblem(
+        num_vars=V,
+        num_params=C,
+        num_tracks=problem.num_tracks,
+        start_params=np.concatenate(
+            [c_start, np.ones(1, np.complex64)]
+        ).astype(np.complex64),
+        start_sols=problem.start_sols,
+        hx_table=hx5,
+        ht_table=ht6,
+        factored=_factor_tables(hx5, ht6),
+    )
+
+
+def make_fused_p2c_track_fn(problem: TrifocalProblem, tables: P2CTables,
+                            cfg, tile: int = 256, interpret: bool = False):
+    """The P2C variant on the PRODUCTION fused Pallas kernel.
+
+    Same track(x0, target_params, diff_params) contract as
+    fused.make_track_fn on the original problem -- targets/diffs are the
+    ordinary 34-parameter arrays; the builder maps their pair-product
+    quadratics A t^2 + B t + C through the coefficient map, giving each
+    coefficient's exact quadratic-in-t polynomial (the homotopy stays the
+    SAME parameter homotopy, evaluated through the coefficient tables, so
+    path semantics are directly comparable to PH).
+    """
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import fused
+
+    import jax.numpy as jnp
+
+    pproblem = make_p2c_problem(problem, tables)
+    pf = pproblem.factored
+    # Every pseudo pair is (coefficient, const): P'_q(t) = c_{pp_a[q]}(t).
+    assert (np.asarray(pf.pp_b) == tables.n_coeffs).all()
+    rows = np.asarray(pf.pp_a)
+    M = tables.coeff_map
+    Mr = jnp.asarray(M.real[rows].astype(np.float32))   # (Q', Q)
+    Mi = jnp.asarray(M.imag[rows].astype(np.float32))
+
+    def coef_builder(diff_re, diff_im, Bp, tgt_re=None, tgt_im=None):
+        base = fused.build_pair_coefs(problem, diff_re, diff_im, Bp)
+        out = []
+        for re, im in zip(base[0::2], base[1::2]):
+            out.append(Mr @ re - Mi @ im)
+            out.append(Mr @ im + Mi @ re)
+        return tuple(out)
+
+    return fused.make_track_fn(
+        pproblem, cfg, tile=tile, interpret=interpret,
+        coef_builder=coef_builder,
     )
 
 

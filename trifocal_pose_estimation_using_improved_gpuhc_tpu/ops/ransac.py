@@ -50,6 +50,63 @@ def sample_edgel_triplets(
     return out
 
 
+class GlibcRand:
+    """Bit-exact reimplementation of glibc's rand() (TYPE_3 additive
+    feedback generator, degree 31, separation 3), so the reference's
+    srand(seed)-based RANSAC sampling (GPU_HC_Solver.cpp:257-271) can be
+    reproduced EXACTLY for statistical reconciliation.  Validated against
+    a compiled glibc program (tests/test_engine.py golden values)."""
+
+    def __init__(self, seed: int):
+        seed = seed if seed != 0 else 1
+        r = [0] * 34
+        r[0] = seed & 0xFFFFFFFF
+        for i in range(1, 31):
+            # r[i] = 16807 * r[i-1] % 2147483647 via Schrage to avoid
+            # overflow, as glibc does.
+            hi, lo = divmod(r[i - 1], 127773)
+            word = 16807 * lo - 2836 * hi
+            if word < 0:
+                word += 2147483647
+            r[i] = word
+        for i in range(31, 34):
+            r[i] = r[i - 31]
+        self._r = r
+        self._idx = 34
+        for _ in range(34, 344):  # discard the first 310 outputs
+            self._next()
+
+    def _next(self) -> int:
+        r = self._r
+        v = (r[-31] + r[-3]) & 0xFFFFFFFF
+        r.append(v)
+        if len(r) > 64:
+            del r[:-31]
+        return v >> 1
+
+    def rand(self) -> int:
+        return self._next()
+
+
+def sample_edgel_triplets_reference(
+    seed: int, num_edgels: int, num_hypotheses: int
+) -> np.ndarray:
+    """The reference's EXACT sampling: glibc srand(seed) + rand() % N with
+    its (buggy) duplicate check that never compares indices 0 and 2
+    (GPU_HC_Solver.cpp:268-271 tests (e0!=e1 && e0!=e1 && e1!=e2)).
+    Used only for statistical reconciliation against the committed sample
+    outputs; production sampling is sample_edgel_triplets."""
+    rng = GlibcRand(seed)
+    out = np.empty((num_hypotheses, 3), dtype=np.int64)
+    for h in range(num_hypotheses):
+        while True:
+            s = [rng.rand() % num_edgels for _ in range(3)]
+            if s[0] != s[1] and s[1] != s[2]:  # e0 == e2 allowed (ref bug)
+                break
+        out[h] = s
+    return out
+
+
 def build_target_params(
     edge_locations: np.ndarray,
     edge_tangents: np.ndarray,

@@ -37,18 +37,30 @@ def _load():
         try:
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                # Compile to a per-process temp file and atomically rename:
+                # concurrent builders (parallel tests/CLIs) then never
+                # expose a half-written .so whose fresh mtime would pin the
+                # broken file forever.
+                tmp = f"{_SO}.{os.getpid()}.tmp"
                 for cc in ("cc", "gcc", "g++", "clang"):
                     try:
                         subprocess.run(
-                            [cc, "-O2", "-shared", "-fPIC", _SRC, "-o", _SO],
+                            [cc, "-O2", "-shared", "-fPIC", _SRC, "-o", tmp],
                             check=True, capture_output=True, timeout=60,
                         )
+                        os.replace(tmp, _SO)
                         break
                     except (FileNotFoundError, subprocess.CalledProcessError):
                         continue
                 else:
                     raise RuntimeError("no C compiler")
-            lib = ctypes.CDLL(_SO)
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError:
+                # Corrupt library: drop it so the next call rebuilds
+                # instead of silently falling back forever.
+                os.unlink(_SO)
+                raise
             lib.tpuhc_parse_floats.restype = ctypes.c_long
             lib.tpuhc_parse_floats.argtypes = [
                 ctypes.c_char_p,
@@ -68,8 +80,16 @@ def parse_floats(path: str) -> np.ndarray:
     """
     lib = _load()
     if lib is None:
+        # Token-skipping like the C strtod path: non-numeric tokens are
+        # ignored, so both paths accept the same inputs.
+        out = []
         with open(path) as f:
-            return np.array(f.read().split(), np.float64)
+            for tok in f.read().split():
+                try:
+                    out.append(float(tok))
+                except ValueError:
+                    continue
+        return np.array(out, np.float64)
     cap = max(os.path.getsize(path) // 2, 64)
     buf = np.empty(cap, np.float64)
     n = lib.tpuhc_parse_floats(
