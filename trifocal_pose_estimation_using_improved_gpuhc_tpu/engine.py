@@ -164,6 +164,146 @@ class TrifocalPoseEngine:
             )
         )
         self._intrinsics = data_io.load_intrinsic_matrix(ransac_data_dir(cfg))
+        self._device_score = self._build_device_score()
+        # Device-side hypothesis expansion: stage only the (H, P+1) target
+        # planes and repeat to (H*T, P+1) on device -- the host link then
+        # carries ~0.3 MB per round instead of ~25 MB (start solutions are
+        # staged once and reused; the reference re-uploads everything per
+        # round, GPU_HC_Solver.cpp:335-362).
+        T = self.problem.num_tracks
+
+        def _expand(x0r, x0i, tr, ti, dr, di):
+            return self.track.jitted(
+                x0r, x0i,
+                jnp.repeat(tr, T, axis=0), jnp.repeat(ti, T, axis=0),
+                jnp.repeat(dr, T, axis=0), jnp.repeat(di, T, axis=0),
+            )
+
+        def _expand_seg(x0r, x0i, tr, ti, dr, di, edg, k, ne):
+            return self.track.jitted(
+                x0r, x0i,
+                jnp.repeat(tr, T, axis=0), jnp.repeat(ti, T, axis=0),
+                jnp.repeat(dr, T, axis=0), jnp.repeat(di, T, axis=0),
+                edg, k, ne,
+            )
+
+        self._track_expand = jax.jit(
+            _expand_seg if self._segmented else _expand
+        )
+        self._x0_planes = None  # staged lazily per hypothesis count
+        # One-round-trip staging fence: a tiny jitted reduction over the
+        # first element of every staged array; reading its result forces
+        # all transfers to complete with a single d2h round trip (~24 ms
+        # each through a tunnelled runtime, so per-array fences add up).
+        self._fence = jax.jit(
+            lambda *xs: sum(x.reshape(-1)[0].astype(jnp.float32) for x in xs)
+        )
+
+    def _build_device_score(self):
+        """Jitted on-device candidate scoring over the WHOLE batch.
+
+        The reference downloads every solution and scores on the host
+        (GPU_HC_Solver.cpp:449-460 D2H + Evaluations.cpp:382-504); here the
+        statistics, the candidate gate (Evaluations.cpp:330-343) and the
+        reprojection-support counts stay on device and only per-path
+        support integers come back (~0.4 MB instead of ~22 MB per round --
+        the d2h link is the slow axis of a serving deployment).  Support
+        scoring runs in 1024-path chunks so the (paths x edgels) broadcast
+        never materialises at full size.
+        """
+        rc = self.cfg.ransac
+        CH = 1024
+
+        @jax.jit
+        def score(xr, xi, conv, inf, edgels, kmat):
+            B = xr.shape[0]
+            real = conv & (jnp.abs(xi) <= rc.zero_imag_part_tol).all(axis=1)
+            cand = (
+                conv
+                & (jnp.abs(xi[:, 24:30]) < rc.imag_part_tol).all(axis=1)
+                & (xr[:, 0:8] >= 0).all(axis=1)
+            )
+            pad = -B % CH
+            pose = jnp.pad(xr[:, 18:30], ((0, pad), (0, 0)))
+            candp = jnp.pad(cand, (0, pad))
+
+            def chunk_fn(args):
+                pose_c, cand_c = args
+                r21 = trifocal.cayley_to_rotation(pose_c[:, 6:9])
+                r31 = trifocal.cayley_to_rotation(pose_c[:, 9:12])
+                n21, n31 = ransac.count_inlier_support(
+                    r21, r31, pose_c[:, 0:3], pose_c[:, 3:6], edgels, kmat,
+                    thresh_px=rc.reproj_inlier_thresh_px,
+                )
+                n21 = jnp.where(cand_c, n21, -1)
+                n31 = jnp.where(cand_c, n31, -1)
+                return n21.astype(jnp.int32), n31.astype(jnp.int32)
+
+            n21, n31 = jax.lax.map(
+                chunk_fn,
+                (pose.reshape(-1, CH, 12), candp.reshape(-1, CH)),
+            )
+            # Per-path masks rather than device-side sums: callers count on
+            # the host AFTER slicing away hypothesis padding, so device/
+            # chunk pad duplicates never inflate the statistics.
+            return real, cand, n21.reshape(-1)[:B], n31.reshape(-1)[:B]
+
+        return score
+
+    @staticmethod
+    def _pose_np(x_real: np.ndarray):
+        """Host pose extraction for ONE solution row (30,) real parts."""
+
+        def cay(r):
+            r1, r2, r3 = r
+            m = np.array([
+                [1 + r1 * r1 - r2 * r2 - r3 * r3, 2 * (r1 * r2 - r3),
+                 2 * (r1 * r3 + r2)],
+                [2 * (r1 * r2 + r3), 1 + r2 * r2 - r1 * r1 - r3 * r3,
+                 2 * (r2 * r3 - r1)],
+                [2 * (r1 * r3 - r2), 2 * (r2 * r3 + r1),
+                 1 + r3 * r3 - r1 * r1 - r2 * r2],
+            ], np.float32)
+            return m / np.linalg.norm(m, axis=0, keepdims=True)
+
+        return (cay(x_real[24:27]), cay(x_real[27:30]),
+                x_real[18:21].astype(np.float32),
+                x_real[21:24].astype(np.float32))
+
+    def _post_from_support(self, view, n21, n31, num_steps, best_x_real,
+                           counts):
+        """Host tail of device scoring: best-pose selection + residuals.
+
+        counts = (num_converged, num_infinity, num_real, n_cand), already
+        sliced to the real hypothesis set by the caller."""
+        n_edgels = view.edge_locations.shape[0]
+        num_conv, num_inf, num_real, n_cand = counts
+        stats = evl.SolutionStats(
+            num_converged=num_conv, num_infinity=num_inf,
+            num_real=num_real, num_paths=len(n21),
+        )
+        best21 = best31 = 0
+        found = False
+        pose_errors = None
+        best_pose = None
+        actual_steps = np.zeros(0, np.int32)
+        if n_cand:
+            bi = int(np.argmax(np.minimum(n21, n31)))
+            best21, best31 = int(n21[bi]), int(n31[bi])
+            ratio = self.cfg.ransac.pass_inlier_support_ratio
+            found = (best21 >= ratio * n_edgels
+                     and best31 >= ratio * n_edgels)
+            best_pose = self._pose_np(best_x_real(bi))
+            pose_errors = evl.measure_pose_error(
+                *best_pose, view.gt_pose21, view.gt_pose31
+            )
+            actual = np.union1d(
+                np.nonzero(n21 == n21.max())[0],
+                np.nonzero(n31 == n31.max())[0],
+            )
+            actual_steps = num_steps[actual].astype(np.int32)
+        return (stats, best21, best31, found, best_pose, pose_errors,
+                actual_steps)
 
     # -- data ---------------------------------------------------------------
     def load_view(self, view_index: int) -> data_io.RansacView:
@@ -191,33 +331,30 @@ class TrifocalPoseEngine:
         tgt = ransac.build_target_params(
             view.edge_locations, view.edge_tangents, samples
         )
-        tgt_b = np.repeat(tgt, T, axis=0)
-        diff_b = tgt_b - self.problem.start_params
-        x0 = np.tile(np.asarray(self.problem.start_sols), (Hp, 1))
 
         # Host sampling + H2D staging are outside the timed span, matching
         # the reference: Prepare_Target_Params and the data transfer are
         # separate phases and magma_wtime only brackets kernel launch+sync
         # (GPU_HC_Solver.cpp:335-362, :384-446).
         f32 = np.float32
-        host_args = [
-            x0.real.astype(f32), x0.imag.astype(f32),
-            tgt_b.real.astype(f32), tgt_b.imag.astype(f32),
-            diff_b.real.astype(f32), diff_b.imag.astype(f32),
-        ]
         edgels_padded = _pad_to(
             view.edge_locations.astype(f32),
             _EDGEL_PAD * -(-n_edgels // _EDGEL_PAD),
             1e3,
         )
-        if self._segmented:
-            host_args += [
-                edgels_padded, self._intrinsics.astype(f32),
-                np.float32(n_edgels),
-            ]
 
         abort = self._segmented and cfg.ransac.abort_by_good_sol
         if abort:
+            tgt_b = np.repeat(tgt, T, axis=0)
+            diff_b = tgt_b - self.problem.start_params
+            x0 = np.tile(np.asarray(self.problem.start_sols), (Hp, 1))
+            host_args = [
+                x0.real.astype(f32), x0.imag.astype(f32),
+                tgt_b.real.astype(f32), tgt_b.imag.astype(f32),
+                diff_b.real.astype(f32), diff_b.imag.astype(f32),
+                edgels_padded, self._intrinsics.astype(f32),
+                np.float32(n_edgels),
+            ]
             # TrunRANSAC chunking: hypotheses launch in chunks; once one
             # chunk reports a >=90%-support pose, the rest are skipped
             # entirely (the explicit form of the reference's serialised
@@ -236,12 +373,10 @@ class TrifocalPoseEngine:
                         for a in args[:6]
                     ]
                 chunks.append([jax.device_put(a) for a in args])
-            # Force staging completion with a tiny d2h read per chunk:
-            # block_until_ready returns without blocking on some TPU
-            # runtimes (same fence as the non-abort path below), so the
-            # timed span provably excludes H2D staging.
-            for ch in chunks:
-                np.asarray(ch[0][:1, :1])
+            # Force staging completion (block_until_ready returns without
+            # blocking on some TPU runtimes) with ONE round trip over all
+            # chunks, so the timed span provably excludes H2D staging.
+            np.asarray(self._fence(*[ch[0] for ch in chunks]))
 
             t_start = time.perf_counter()
             # Speculative pipeline: dispatch chunk i+1 before reading chunk
@@ -264,16 +399,74 @@ class TrifocalPoseEngine:
                 pending = nxt
             t_track = time.perf_counter()
 
-            def cat(i, fill):
-                done = np.concatenate(
-                    [np.asarray(o[i]) for o in outs], axis=0
-                )[: done_chunks * per]
+            def cat_host(arrs, fill, dtype):
+                done = np.concatenate(arrs, axis=0)[: done_chunks * per]
                 if done.shape[0] < H * T:
                     pad_shape = (H * T - done.shape[0],) + done.shape[1:]
                     done = np.concatenate(
-                        [done, np.full(pad_shape, fill, done.dtype)]
+                        [done, np.full(pad_shape, fill, dtype)]
                     )
                 return done[: H * T]  # ragged/device padding sliced away
+
+            def cat(i, fill):
+                return cat_host([np.asarray(o[i]) for o in outs], fill,
+                                np.asarray(outs[0][i]).dtype)
+
+            if not collect_solutions:
+                # On-device scoring per dispatched chunk (skipped chunks
+                # scored implicitly as no-candidates); outputs concatenate
+                # ON DEVICE into one packed int32 array so the whole
+                # result costs a single d2h round trip.
+                scs = [
+                    self._device_score(
+                        o[0], o[1], o[2], o[3], chunks[0][6], chunks[0][7]
+                    )
+                    for o in outs
+                ]
+                packed = np.asarray(jnp.stack([
+                    jnp.concatenate(
+                        [o[idx].astype(jnp.int32) for o in outs]
+                    ) if src == "o" else jnp.concatenate(
+                        [sc[idx].astype(jnp.int32) for sc in scs]
+                    )
+                    for src, idx in (("o", 2), ("o", 3), ("sc", 0),
+                                     ("sc", 1), ("sc", 2), ("sc", 3),
+                                     ("o", 5))
+                ]))
+                rows = [cat_host([r], 0 if i < 6 else 0, np.int32)
+                        for i, r in enumerate(packed)]
+                conv_m, inf_m, real_m, cand_m = [
+                    r.astype(bool) for r in rows[:4]
+                ]
+                n21, n31, num_steps = rows[4], rows[5], rows[6]
+                n21 = np.where(cand_m, n21, -1)
+                n31 = np.where(cand_m, n31, -1)
+                counts = (int(conv_m.sum()), int(inf_m.sum()),
+                          int(real_m.sum()), int(cand_m.sum()))
+
+                def best_x_real(bi):
+                    ci, off = divmod(bi, per)
+                    return np.asarray(outs[ci][0][off])
+
+                (stats, best21, best31, found, best_pose, pose_errors,
+                 actual_steps) = self._post_from_support(
+                    view, n21, n31, num_steps, best_x_real, counts,
+                )
+                t_end = time.perf_counter()
+                return RoundResult(
+                    stats=stats,
+                    track_ms=(t_track - t_start) * 1e3,
+                    total_ms=(t_end - t_start) * 1e3,
+                    num_candidates=counts[3],
+                    best_support21=best21,
+                    best_support31=best31,
+                    num_edgels=n_edgels,
+                    found_pose=found,
+                    pose_errors=pose_errors,
+                    best_pose=best_pose,
+                    num_steps=num_steps,
+                    actual_sol_steps=actual_steps,
+                )
 
             res = tracker.TrackResult(
                 x=(cat(0, 0.0) + 1j * cat(1, 0.0)).astype(np.complex64),
@@ -283,11 +476,66 @@ class TrifocalPoseEngine:
                 num_steps=cat(5, 0),
             )
         else:
-            dev = [jax.device_put(a) for a in host_args]
-            jax.block_until_ready(dev)
+            # Stage only the small (Hp, P+1) target planes; hypothesis
+            # expansion happens on device (self._track_expand).
+            x0r, x0i = self._staged_x0(Hp)
+            small = [jax.device_put(a) for a in (
+                tgt.real.astype(f32), tgt.imag.astype(f32),
+                (tgt - self.problem.start_params).real.astype(f32),
+                (tgt - self.problem.start_params).imag.astype(f32),
+            )]
+            seg_args = []
+            if self._segmented:
+                seg_args = [jax.device_put(edgels_padded),
+                            jax.device_put(self._intrinsics.astype(f32)),
+                            np.float32(n_edgels)]
+            np.asarray(self._fence(x0r, *small))  # staging fence
 
             t_start = time.perf_counter()
-            out = self.track.jitted(*dev)
+            out = self._track_expand(x0r, x0i, *small, *seg_args)
+            if not collect_solutions:
+                # On-device scoring: dispatch the scorer behind the
+                # tracker, then fence; only support integers come back.
+                dev_edgels = jax.device_put(edgels_padded)
+                dev_k = jax.device_put(self._intrinsics.astype(f32))
+                sc = self._device_score(
+                    out[0], out[1], out[2], out[3], dev_edgels, dev_k
+                )
+                np.asarray(out[2][:1])
+                t_track = time.perf_counter()
+                nHT = H * T
+                packed = np.asarray(jnp.stack([
+                    a.astype(jnp.int32)
+                    for a in (out[2], out[3], sc[0], sc[1], sc[2], sc[3],
+                              out[5])
+                ]))[:, :nHT]
+                conv_m, inf_m, real_m, cand_m = (
+                    packed[0].astype(bool), packed[1].astype(bool),
+                    packed[2].astype(bool), packed[3].astype(bool),
+                )
+                counts = (int(conv_m.sum()), int(inf_m.sum()),
+                          int(real_m.sum()), int(cand_m.sum()))
+                n21, n31, num_steps = packed[4], packed[5], packed[6]
+                (stats, best21, best31, found, best_pose, pose_errors,
+                 actual_steps) = self._post_from_support(
+                    view, n21, n31, num_steps,
+                    lambda bi: np.asarray(out[0][bi]), counts,
+                )
+                t_end = time.perf_counter()
+                return RoundResult(
+                    stats=stats,
+                    track_ms=(t_track - t_start) * 1e3,
+                    total_ms=(t_end - t_start) * 1e3,
+                    num_candidates=counts[3],
+                    best_support21=best21,
+                    best_support31=best31,
+                    num_edgels=n_edgels,
+                    found_pose=found,
+                    pose_errors=pose_errors,
+                    best_pose=best_pose,
+                    num_steps=num_steps,
+                    actual_sol_steps=actual_steps,
+                )
             # Force completion with a small d2h read: on some TPU runtimes
             # block_until_ready returns before the computation has drained.
             np.asarray(out[2])
@@ -407,6 +655,17 @@ class TrifocalPoseEngine:
         return (stats, n_cand, best21, best31, found, best_pose,
                 pose_errors, actual_steps, f21s, f31s)
 
+    def _staged_x0(self, Hp: int):
+        """Device-resident start-solution planes, staged once per H."""
+        if self._x0_planes is None or self._x0_planes[0] != Hp:
+            x0 = np.tile(np.asarray(self.problem.start_sols), (Hp, 1))
+            self._x0_planes = (
+                Hp,
+                jax.device_put(x0.real.astype(np.float32)),
+                jax.device_put(x0.imag.astype(np.float32)),
+            )
+        return self._x0_planes[1], self._x0_planes[2]
+
     def _prep_host_args(self, view, seed: int, H: int):
         T = self.problem.num_tracks
         H = -(-H // self._ndev) * self._ndev  # whole hypotheses per shard
@@ -433,16 +692,6 @@ class TrifocalPoseEngine:
             ]
         return host_args
 
-    def _out_to_result(self, out) -> tracker.TrackResult:
-        xr, xi, conv, inf, pruned, steps = out[:6]
-        return tracker.TrackResult(
-            x=(np.asarray(xr) + 1j * np.asarray(xi)).astype(np.complex64),
-            converged=np.asarray(conv),
-            inf_fail=np.asarray(inf),
-            pruned=np.asarray(pruned),
-            num_steps=np.asarray(steps),
-        )
-
     def run_stream(self, view_indices, num_hypotheses: Optional[int] = None,
                    seed: int = 0):
         """Streamed tracking-loss recovery over a sequence of views.
@@ -456,12 +705,47 @@ class TrifocalPoseEngine:
         """
         cfg = self.cfg
         H = num_hypotheses or cfg.ransac.num_iterations
+        T = self.problem.num_tracks
         views = [self.load_view(vi) for vi in view_indices[:1]]
 
+        k_dev = jax.device_put(self._intrinsics.astype(np.float32))
+
+        Hp = -(-H // self._ndev) * self._ndev
+        x0r, x0i = self._staged_x0(Hp)
+
         def dispatch(view, s):
-            dev = [jax.device_put(a)
-                   for a in self._prep_host_args(view, s, H)]
-            return self.track.jitted(*dev), time.perf_counter()
+            n_e = view.edge_locations.shape[0]
+            samples = ransac.sample_edgel_triplets(s, n_e, Hp)
+            tgt = ransac.build_target_params(
+                view.edge_locations, view.edge_tangents, samples
+            )
+            diff = tgt - self.problem.start_params
+            f32 = np.float32
+            small = [jax.device_put(a) for a in (
+                tgt.real.astype(f32), tgt.imag.astype(f32),
+                diff.real.astype(f32), diff.imag.astype(f32),
+            )]
+            if self._segmented:
+                edg0 = jax.device_put(_pad_to(
+                    view.edge_locations.astype(f32),
+                    _EDGEL_PAD * -(-n_e // _EDGEL_PAD), 1e3,
+                ))
+                out = self._track_expand(
+                    x0r, x0i, *small, edg0, k_dev, np.float32(n_e)
+                )
+            else:
+                out = self._track_expand(x0r, x0i, *small)
+            # Chain the on-device scorer behind the tracker so only
+            # support integers cross the d2h link per view.
+            if not self._segmented:
+                edg0 = jax.device_put(_pad_to(
+                    view.edge_locations.astype(f32),
+                    _EDGEL_PAD * -(-n_e // _EDGEL_PAD), 1e3,
+                ))
+            sc = self._device_score(
+                out[0], out[1], out[2], out[3], edg0, k_dev
+            )
+            return (out, sc), time.perf_counter()
 
         t0 = time.perf_counter()
         results = []
@@ -473,21 +757,32 @@ class TrifocalPoseEngine:
                 nxt = dispatch(views[i + 1], seed)
             else:
                 nxt = None
-            res = self._out_to_result(pending)  # d2h sync for view i
+            out, sc = pending
+            nHT = H * T
+            packed = np.asarray(jnp.stack([
+                a.astype(jnp.int32)
+                for a in (out[2], out[3], sc[0], sc[1], sc[2], sc[3],
+                          out[5])
+            ]))[:, :nHT]
+            counts = tuple(int(packed[i].sum()) for i in range(4))
+            n21, n31, num_steps = packed[4], packed[5], packed[6]
             t_done = time.perf_counter()
             # Pipeline latency of this view: dispatch -> results on host
             # (overlaps the next view's tracking by design).
             view_ms = (t_done - t_disp) * 1e3
-            (stats, n_cand, b21, b31, found, pose, perr,
-             actual_steps, f21s, f31s) = self._score_round(view, res)
+            (stats, b21, b31, found, pose, perr,
+             actual_steps) = self._post_from_support(
+                view, n21, n31, num_steps,
+                lambda bi: np.asarray(out[0][bi]), counts,
+            )
             results.append(RoundResult(
                 stats=stats, track_ms=view_ms,
                 total_ms=(time.perf_counter() - t_disp) * 1e3,
-                num_candidates=n_cand, best_support21=b21,
+                num_candidates=counts[3], best_support21=b21,
                 best_support31=b31,
                 num_edgels=view.edge_locations.shape[0],
                 found_pose=found, pose_errors=perr, best_pose=pose,
-                num_steps=res.num_steps,
+                num_steps=num_steps,
                 actual_sol_steps=actual_steps,
             ))
             if nxt is not None:
