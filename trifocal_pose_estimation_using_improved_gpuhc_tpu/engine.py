@@ -345,38 +345,34 @@ class TrifocalPoseEngine:
 
         abort = self._segmented and cfg.ransac.abort_by_good_sol
         if abort:
-            tgt_b = np.repeat(tgt, T, axis=0)
-            diff_b = tgt_b - self.problem.start_params
-            x0 = np.tile(np.asarray(self.problem.start_sols), (Hp, 1))
-            host_args = [
-                x0.real.astype(f32), x0.imag.astype(f32),
-                tgt_b.real.astype(f32), tgt_b.imag.astype(f32),
-                diff_b.real.astype(f32), diff_b.imag.astype(f32),
-                edgels_padded, self._intrinsics.astype(f32),
-                np.float32(n_edgels),
-            ]
             # TrunRANSAC chunking: hypotheses launch in chunks; once one
             # chunk reports a >=90%-support pose, the rest are skipped
             # entirely (the explicit form of the reference's serialised
             # late blocks seeing the abort flag, ...TrunRANSAC.cu:152).
+            # Only the small per-chunk target planes are staged; the x312
+            # path expansion happens on device (see _track_expand).
             chunk_h = min(cfg.ransac.abort_chunk, Hp)
             chunk_h = -(-chunk_h // self._ndev) * self._ndev
             n_chunks = -(-Hp // chunk_h)
             per = chunk_h * T
+            x0r_c, x0i_c = self._staged_x0(chunk_h)
+            diff = tgt - self.problem.start_params
+            seg_dev = (jax.device_put(edgels_padded),
+                       jax.device_put(self._intrinsics.astype(f32)),
+                       np.float32(n_edgels))
             chunks = []
             for ci in range(n_chunks):
-                lo, hi = ci * per, min((ci + 1) * per, Hp * T)
-                args = [a[lo:hi] for a in host_args[:6]] + host_args[6:]
-                if hi - lo < per:  # ragged tail: pad with first paths
-                    args[:6] = [
-                        np.concatenate([a, a[: per - (hi - lo)]])
-                        for a in args[:6]
-                    ]
-                chunks.append([jax.device_put(a) for a in args])
+                lo, hi = ci * chunk_h, min((ci + 1) * chunk_h, Hp)
+                sl = [tgt.real[lo:hi], tgt.imag[lo:hi],
+                      diff.real[lo:hi], diff.imag[lo:hi]]
+                if hi - lo < chunk_h:  # ragged tail: pad with first hyps
+                    sl = [np.concatenate([a, a[: chunk_h - (hi - lo)]])
+                          for a in sl]
+                chunks.append([jax.device_put(a.astype(f32)) for a in sl])
             # Force staging completion (block_until_ready returns without
             # blocking on some TPU runtimes) with ONE round trip over all
             # chunks, so the timed span provably excludes H2D staging.
-            np.asarray(self._fence(*[ch[0] for ch in chunks]))
+            np.asarray(self._fence(x0r_c, *[ch[0] for ch in chunks]))
 
             t_start = time.perf_counter()
             # Speculative pipeline: dispatch chunk i+1 before reading chunk
@@ -385,13 +381,19 @@ class TrifocalPoseEngine:
             # chunk of speculative work -- the reference wastes the same in
             # blocks already resident when its flag flips).
             t_track = None
+
+            def launch(ci):
+                return self._track_expand(
+                    x0r_c, x0i_c, *chunks[ci], *seg_dev
+                )
+
             outs, done_chunks = [], 0
-            pending = self.track.jitted(*chunks[0])
+            pending = launch(0)
             for ci in range(n_chunks):
                 outs.append(pending)
                 done_chunks += 1
                 if ci + 1 < n_chunks:
-                    nxt = self.track.jitted(*chunks[ci + 1])
+                    nxt = launch(ci + 1)
                 else:
                     nxt = None
                 if bool(np.asarray(pending[6])):
@@ -419,7 +421,7 @@ class TrifocalPoseEngine:
                 # result costs a single d2h round trip.
                 scs = [
                     self._device_score(
-                        o[0], o[1], o[2], o[3], chunks[0][6], chunks[0][7]
+                        o[0], o[1], o[2], o[3], seg_dev[0], seg_dev[1]
                     )
                     for o in outs
                 ]

@@ -286,13 +286,28 @@ class FusedConstants:
         # elimination stays sequential.
         rows_of = [set(r for a, b in runs for r in range(a, b))
                    for _, runs, _ in steps]
-        plan: List[Tuple] = []
+        flat: List[Tuple] = []
         for si, (sc, runs, lo) in enumerate(steps):
             before = set().union(*rows_of[:si]) if si else set()
             after = set().union(*rows_of[si + 1:]) if si + 1 < len(steps) else set()
             fresh = not (rows_of[si] & before)
             last = not (rows_of[si] & after)
-            plan.append((sc, runs, lo, fresh, last))
+            flat.append((sc, runs, lo, fresh, last))
+        # Group consecutive steps with IDENTICAL single-run windows (the
+        # dense tail eliminates 6 columns from the same 30x8 block): the
+        # window loads once, all pivots/updates run on values, and stores
+        # happen once per group -- each shared load/store pair saved is
+        # ~120 vector registers of pure traffic.
+        plan: List[Tuple] = []
+        i = 0
+        while i < len(flat):
+            sc, runs, lo, fresh, last = flat[i]
+            j = i + 1
+            while (j < len(flat) and len(runs) == 1
+                   and flat[j][1] == runs and flat[j][2] == lo):
+                j += 1
+            plan.append((tuple(flat[i:j]), runs, lo))
+            i = j
         return cls(
             perm=perm,
             pos_of_var=pos_of_var,
@@ -415,65 +430,76 @@ def _solve(c: FusedConstants, m, sv_re, sv_im, used, xe_re, xe_im, T: int,
 
 
 def _eliminate(c: FusedConstants, m, sv_re, sv_im, used, T: int, save=None):
-    """Forward elimination over the static schedule (see _solve)."""
+    """Forward elimination over the static schedule (see _solve).
+
+    Plan items hold one or more CONSECUTIVE steps sharing an identical
+    candidate window; the window (and its used-mask) is loaded once, every
+    step of the group updates the in-register values, and the result
+    stores once.  fresh/last flags elide used-mask work where the rows are
+    first/last touched.
+    """
     n = len(c.steps)
     width = n + 2
     # Non-fresh steps may still contain rows first touched THIS step (mixed
     # candidate sets), so the mask must start at zero every solve.
     used[:] = jnp.zeros((n, T), jnp.float32)
-    for s, runs, lo, fresh, last in c.elim_plan:
+    for group, runs, lo in c.elim_plan:
         nc = sum(hi - lo_r for lo_r, hi in runs)
+        all_fresh = group[0][3]
         if len(runs) == 1:
             r0, r1 = runs[0]
             Mw = m[r0:r1, lo:width]
-            ure = None if fresh else used[r0:r1]
+            ure = (jnp.zeros((nc, T), jnp.float32) if all_fresh
+                   else used[r0:r1])
         else:
             Mw = jnp.concatenate([m[a:b, lo:width] for a, b in runs], axis=0)
-            ure = None if fresh else jnp.concatenate(
-                [used[a:b] for a, b in runs], axis=0)
+            ure = (jnp.zeros((nc, T), jnp.float32) if all_fresh
+                   else jnp.concatenate([used[a:b] for a, b in runs],
+                                        axis=0))
         Mre = Mw[:, :, :T]
         Mim = Mw[:, :, T:]
-        jcol = s - lo
-        cr = Mre[:, jcol, :]
-        ci = Mim[:, jcol, :]
-        metric = jnp.abs(cr) + jnp.abs(ci)
-        if not fresh:
-            metric = jnp.where(ure > 0.5, -1.0, metric)
-        mx = jnp.max(metric, axis=0, keepdims=True)
-        hit = metric >= mx
-        rid = jax.lax.broadcasted_iota(jnp.int32, (nc, T), 0)
-        first = jnp.min(jnp.where(hit, rid, nc), axis=0, keepdims=True)
-        oh = (rid == first).astype(jnp.float32)          # (nc, T)
-        prow_re = jnp.sum(oh[:, None, :] * Mre, axis=0)  # (w, T)
-        prow_im = jnp.sum(oh[:, None, :] * Mim, axis=0)
-        sv_re[s, lo:width] = prow_re
-        sv_im[s, lo:width] = prow_im
-        pr = prow_re[jcol:jcol + 1]
-        pi = prow_im[jcol:jcol + 1]
-        den = pr * pr + pi * pi
-        den = jnp.where(den == 0.0, 1.0, den)
-        fr, fi = _cmul(cr, ci, pr / den, -pi / den)
-        nm = 1.0 - oh
-        fr = fr * nm
-        fi = fi * nm
-        if save is not None:
-            foh, ffr, ffi = save
-            foh[s, :nc] = oh
-            ffr[s, :nc] = fr
-            ffi[s, :nc] = fi
-        new_re = Mre - (fr[:, None, :] * prow_re[None]
-                        - fi[:, None, :] * prow_im[None])
-        new_im = Mim - (fr[:, None, :] * prow_im[None]
-                        + fi[:, None, :] * prow_re[None])
-        new_w = jnp.concatenate([new_re, new_im], axis=2)
-        if not last:
-            new_used = oh if fresh else ure + oh
+        for s, _, _, fresh, last in group:
+            jcol = s - lo
+            cr = Mre[:, jcol, :]
+            ci = Mim[:, jcol, :]
+            metric = jnp.abs(cr) + jnp.abs(ci)
+            if not fresh:
+                metric = jnp.where(ure > 0.5, -1.0, metric)
+            mx = jnp.max(metric, axis=0, keepdims=True)
+            hit = metric >= mx
+            rid = jax.lax.broadcasted_iota(jnp.int32, (nc, T), 0)
+            first = jnp.min(jnp.where(hit, rid, nc), axis=0, keepdims=True)
+            oh = (rid == first).astype(jnp.float32)          # (nc, T)
+            prow_re = jnp.sum(oh[:, None, :] * Mre, axis=0)  # (w, T)
+            prow_im = jnp.sum(oh[:, None, :] * Mim, axis=0)
+            sv_re[s, lo:width] = prow_re
+            sv_im[s, lo:width] = prow_im
+            pr = prow_re[jcol:jcol + 1]
+            pi = prow_im[jcol:jcol + 1]
+            den = pr * pr + pi * pi
+            den = jnp.where(den == 0.0, 1.0, den)
+            fr, fi = _cmul(cr, ci, pr / den, -pi / den)
+            nm = 1.0 - oh
+            fr = fr * nm
+            fi = fi * nm
+            if save is not None:
+                foh, ffr, ffi = save
+                foh[s, :nc] = oh
+                ffr[s, :nc] = fr
+                ffi[s, :nc] = fi
+            Mre = Mre - (fr[:, None, :] * prow_re[None]
+                         - fi[:, None, :] * prow_im[None])
+            Mim = Mim - (fr[:, None, :] * prow_im[None]
+                         + fi[:, None, :] * prow_re[None])
+            ure = ure + oh
+        last_any = group[-1][4]
+        new_w = jnp.concatenate([Mre, Mim], axis=2)
         off = 0
         for a, b in runs:
             w_r = b - a
             m[a:b, lo:width] = new_w[off:off + w_r]
-            if not last:
-                used[a:b] = new_used[off:off + w_r]
+            if not last_any:
+                used[a:b] = ure[off:off + w_r]
             off += w_r
 
 
