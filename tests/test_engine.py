@@ -78,3 +78,32 @@ def test_ef_matrix_utilities(cfg):
     resid = np.abs(np.einsum("ni,ij,nj->n", p2, f, p1))
     scale = np.abs(np.einsum("ni,ij,nj->n", p2, f, p1 * 0 + 1)).mean() + 1.0
     assert np.median(resid) / scale < 1e-3
+
+
+def test_device_scoring_matches_host_scoring(cfg):
+    """The on-device scoring path (default) and the host path
+    (collect_solutions=True) produce identical statistics and supports."""
+    import dataclasses
+
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.engine import (
+        TrifocalPoseEngine,
+    )
+
+    base = dataclasses.replace(
+        cfg, hc=dataclasses.replace(cfg.hc, max_steps=25, backend="xla")
+    )
+    eng = TrifocalPoseEngine(base)
+    view = eng.load_view(0)
+    rd = eng.run_round(view, seed=0, num_hypotheses=2)
+    rh = eng.run_round(view, seed=0, num_hypotheses=2,
+                       collect_solutions=True)
+    assert rd.stats.num_converged == rh.stats.num_converged
+    assert rd.stats.num_infinity == rh.stats.num_infinity
+    assert rd.stats.num_real == rh.stats.num_real
+    assert rd.num_candidates == rh.num_candidates
+    assert rd.best_support21 == rh.best_support21
+    assert rd.best_support31 == rh.best_support31
+    assert rd.found_pose == rh.found_pose
+    np.testing.assert_array_equal(
+        np.sort(rd.actual_sol_steps), np.sort(rh.actual_sol_steps)
+    )
