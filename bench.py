@@ -43,11 +43,19 @@ def run(num_hypotheses: int):
 
 
 def main():
-    for H in (100, 32):
+    # The tunnelled TPU runtime occasionally wedges for 15-45 min (even a
+    # trivial op hangs); retry with patience before shrinking the
+    # workload so a transient outage doesn't zero the benchmark.
+    attempts = [(100, 0), (100, 600), (32, 300), (32, 600)]
+    for H, wait in attempts:
         try:
+            if wait:
+                print(f"bench: waiting {wait}s for TPU runtime recovery",
+                      file=sys.stderr)
+                time.sleep(wait)
             paths_per_sec, best_ms, n_paths = run(H)
             break
-        except Exception as e:  # TPU worker instability: retry smaller
+        except Exception as e:  # TPU worker instability: wait / retry
             print(f"bench: H={H} failed ({type(e).__name__}), retrying",
                   file=sys.stderr)
     else:

@@ -87,7 +87,9 @@ class RansacConfig:
     # the flag before doing work (...TrunRANSAC.cu:152); the TPU analogue
     # is explicit: hypotheses run in chunks and remaining chunks are
     # skipped once a chunk reports a >=90%-support pose.
-    abort_chunk: int = 8
+    abort_chunk: int = 4    # retuned round 2: 115 ms to pose vs 139 at 8;
+    # the no-find case is within noise (796 vs 790 ms) now that chunks
+    # stage only small target planes (device-side expansion)
     feed_random_seed: bool = False       # FEED_RANDOM_SEED: false => seed = round idx
     test_ransac_times: int = 1           # TEST_RANSAC_TIMES
     dataset: str = "Synthetic"           # RANSAC_Dataset (yaml:31)
