@@ -14,7 +14,6 @@ candidate (Evaluations.cpp:457-504).
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Sequence, Tuple
 
 import numpy as np
