@@ -33,6 +33,17 @@ def main(argv=None) -> int:
                     help="force a JAX platform (default: environment)")
     ap.add_argument("--cross-check", action="store_true",
                     help="also run the CPU-HC oracle and compare statistics")
+    ap.add_argument("--cross-check-full", action="store_true",
+                    help="run the FULL hypothesis workload through the "
+                         "CPU-HC oracle (minutes; the reference runs this "
+                         "every invocation, cmd/magmaHC-main.cpp:124-195) "
+                         "and assert statistics reconcile")
+    ap.add_argument("--dedup-mode", default="batch",
+                    choices=["batch", "reference"],
+                    help="unique-solution semantics: 'batch' dedups all "
+                         "H x 312 solutions; 'reference' reproduces "
+                         "Find_Unique_Sols exactly (RANSAC iteration 0 "
+                         "only, Evaluations.cpp:184-233)")
     ap.add_argument("--abort", action="store_true",
                     help="Abort_RANSAC_by_Good_Sol: stop once a pose with "
                          ">=90%% inlier support is found on-device")
@@ -188,62 +199,122 @@ def main(argv=None) -> int:
                          "GPUHC_Steps_of_Actual_Solutions.txt"),
             last_rr.actual_sol_steps,
         )
-        uniq = evl.find_unique_solutions(
-            sols.x, sols.converged, tol=cfg.ransac.duplicate_sol_tol
-        )
-        print(f" - Unique converged solutions (final round): {uniq.size}"
+        if args.dedup_mode == "reference":
+            uniq = evl.find_unique_solutions_reference(
+                sols.x, sols.converged, engine.problem.num_tracks,
+                tol=cfg.ransac.duplicate_sol_tol,
+            )
+        else:
+            uniq = evl.find_unique_solutions(
+                sols.x, sols.converged, tol=cfg.ransac.duplicate_sol_tol
+            )
+        print(f" - Unique converged solutions (final round, "
+              f"{args.dedup_mode} mode): {uniq.size}"
               f" of {int(sols.converged.sum())}")
+        # Percentage_Of_* statistics (Evaluations.hpp:78-81) + min
+        # residuals over all candidate poses (Evaluations.cpp:545-583).
+        st = dataclasses.replace(last_rr.stats, num_unique=int(uniq.size))
+        print(f" - Percentage of convergence {st.pct_converged:.4f}, "
+              f"infinity {st.pct_infinity:.4f}, real {st.pct_real:.4f}, "
+              f"unique {st.pct_unique:.4f}")
+        if last_rr.min_residuals is not None:
+            mr = last_rr.min_residuals
+            print(f" - Min residuals over all candidate sols: "
+                  f"rot ({mr.rot21:.4f}, {mr.rot31:.4f}) "
+                  f"transl ({mr.transl21:.4f}, {mr.transl31:.4f}); "
+                  f"any pose within GT tolerance: {last_rr.any_within_gt}")
 
-    if args.cross_check:
-        import jax
+    if args.cross_check or args.cross_check_full:
+        return run_cross_check(engine, cfg, args, view0,
+                               full=args.cross_check_full)
+    return 0
 
-        print("\n[cross-check] re-running round 0 on the CPU backend ...")
-        cpu_cfg = dataclasses.replace(
-            cfg, hc=dataclasses.replace(cfg.hc, backend="xla")
-        )
+
+# Cross-check agreement bands, derived from MEASURED backend float noise
+# rather than guessed: with identical inputs the fused TPU kernel (split3
+# bf16 evaluator) and the CPU-HC XLA oracle (f32 HIGHEST) disagree only on
+# paths whose corrector norm sits at threshold level.  Measured on view 0
+# seed 0: 1/624 converged-flag flips at H=2 and 0 support delta (fast
+# tier); the band is 3x the measured flip rate, floor 3.
+_CC_FLIP_FRAC = 0.005
+_CC_SUP_FRAC = 0.002
+
+
+def run_cross_check(engine, cfg, args, view0, full: bool) -> int:
+    """Dual-solver agreement gate (the reference's correctness story,
+    SURVEY.md section 4: every invocation runs the same workload through
+    GPU-HC and CPU-HC, cmd/magmaHC-main.cpp:124-195).
+
+    Fast tier (--cross-check): 2 hypotheses, ~2 min of CPU oracle.
+    Full tier (--cross-check-full): the ENTIRE hypothesis workload through
+    the CPU oracle -- the reference's per-invocation comparison, opt-in
+    here because the oracle runs the full 80-step budget on every path.
+    """
+    import dataclasses
+    import os
+
+    import jax
+
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.engine import (
+        TrifocalPoseEngine,
+    )
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import (
+        evaluation as evl,
+    )
+
+    if full:
+        h_cc = args.hypotheses or cfg.ransac.num_iterations
+    else:
         # 2 hypotheses (624 paths) keep the CPU oracle's full-step-budget
         # run to ~2 min; agreement statistics do not need more paths.
         h_cc = min(args.hypotheses or 2, 2)
-        rr_gpu = engine.run_round(view0, seed=0, num_hypotheses=h_cc,
+    print(f"\n[cross-check] re-running round 0 ({h_cc} hypotheses) on the "
+          "CPU backend ...")
+    cpu_cfg = dataclasses.replace(
+        cfg, hc=dataclasses.replace(cfg.hc, backend="xla")
+    )
+    rr_gpu = engine.run_round(view0, seed=0, num_hypotheses=h_cc,
+                              collect_solutions=True)
+    with jax.default_device(jax.devices("cpu")[0]):
+        cpu_engine = TrifocalPoseEngine(cpu_cfg)
+        rr = cpu_engine.run_round(view0, seed=0, num_hypotheses=h_cc,
                                   collect_solutions=True)
-        with jax.default_device(jax.devices("cpu")[0]):
-            cpu_engine = TrifocalPoseEngine(cpu_cfg)
-            rr = cpu_engine.run_round(view0, seed=0, num_hypotheses=h_cc,
-                                      collect_solutions=True)
-        print(
-            f"cpu-hc: conv {rr.stats.num_converged}, cand {rr.num_candidates}, "
-            f"support {rr.best_support21}/{rr.best_support31} of {rr.num_edgels}"
-        )
-        evl.write_sols_statistics(
-            os.path.join(args.output_dir, "CPU_Sols_Statistics.txt"), [rr.stats]
-        )
-        evl.write_converged_sols(
-            os.path.join(args.output_dir, "CPU_Converged_HC_tracks.txt"),
-            rr.solutions.x, rr.solutions.converged,
-            cpu_engine.problem.num_tracks,
-        )
-        # The reference's correctness story is this dual-solver agreement
-        # (SURVEY.md section 4); assert it instead of eyeballing.  Identical
-        # inputs, so flags may differ only by threshold-level float noise.
-        n_paths = h_cc * engine.problem.num_tracks
-        dis = int(
-            (rr_gpu.solutions.converged != rr.solutions.converged).sum()
-        )
-        tol_paths = max(5, int(0.02 * n_paths))
-        sup_tol = max(10, int(0.01 * rr.num_edgels))
-        ok = (
-            dis <= tol_paths
-            and abs(rr_gpu.best_support21 - rr.best_support21) <= sup_tol
-            and abs(rr_gpu.best_support31 - rr.best_support31) <= sup_tol
-        )
-        print(f"[cross-check] converged-flag disagreements: {dis}/{n_paths} "
-              f"(tol {tol_paths}); support "
-              f"{rr_gpu.best_support21}/{rr_gpu.best_support31} vs "
-              f"{rr.best_support21}/{rr.best_support31} -> "
-              f"{'AGREE' if ok else 'MISMATCH'}")
-        if not ok:
-            print("[cross-check] FAILED: device and CPU-HC results diverge")
-            return 1
+    print(
+        f"cpu-hc: conv {rr.stats.num_converged}, cand {rr.num_candidates}, "
+        f"support {rr.best_support21}/{rr.best_support31} of {rr.num_edgels}"
+    )
+    evl.write_sols_statistics(
+        os.path.join(args.output_dir, "CPU_Sols_Statistics.txt"), [rr.stats]
+    )
+    evl.write_converged_sols(
+        os.path.join(args.output_dir, "CPU_Converged_HC_tracks.txt"),
+        rr.solutions.x, rr.solutions.converged,
+        cpu_engine.problem.num_tracks,
+    )
+    n_paths = h_cc * engine.problem.num_tracks
+    dis = int(
+        (rr_gpu.solutions.converged != rr.solutions.converged).sum()
+    )
+    tol_paths = max(3, int(_CC_FLIP_FRAC * n_paths))
+    sup_tol = max(5, int(_CC_SUP_FRAC * rr.num_edgels))
+    conv_tol = max(3, int(_CC_FLIP_FRAC * n_paths))
+    ok = (
+        dis <= tol_paths
+        and abs(rr_gpu.stats.num_converged - rr.stats.num_converged)
+        <= conv_tol
+        and abs(rr_gpu.best_support21 - rr.best_support21) <= sup_tol
+        and abs(rr_gpu.best_support31 - rr.best_support31) <= sup_tol
+    )
+    print(f"[cross-check] converged-flag disagreements: {dis}/{n_paths} "
+          f"(tol {tol_paths}); conv totals "
+          f"{rr_gpu.stats.num_converged} vs {rr.stats.num_converged} "
+          f"(tol {conv_tol}); support "
+          f"{rr_gpu.best_support21}/{rr_gpu.best_support31} vs "
+          f"{rr.best_support21}/{rr.best_support31} (tol {sup_tol}) -> "
+          f"{'AGREE' if ok else 'MISMATCH'}")
+    if not ok:
+        print("[cross-check] FAILED: device and CPU-HC results diverge")
+        return 1
     return 0
 
 

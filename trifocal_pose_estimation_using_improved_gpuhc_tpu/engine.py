@@ -70,6 +70,12 @@ class RoundResult:
     cand_f31: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 3, 3), np.float32)
     )
+    # Min residual over ALL candidate poses, independently per component,
+    # and whether any single pose had all four within tolerance
+    # (Evaluations.cpp:545-583 Measure_Relative_Pose_Error_from_All_Real_Sols;
+    # host-scoring rounds only -- None when scoring stayed on device).
+    min_residuals: Optional[evl.PoseErrors] = None
+    any_within_gt: bool = False
 
 
 class TrifocalPoseEngine:
@@ -558,7 +564,8 @@ class TrifocalPoseEngine:
             )
 
         (stats, n_cand, best21, best31, found, best_pose,
-         pose_errors, actual_steps, f21s, f31s) = self._score_round(view, res)
+         pose_errors, actual_steps, f21s, f31s, min_res,
+         any_gt) = self._score_round(view, res)
         t_end = time.perf_counter()
 
         rr = RoundResult(
@@ -576,6 +583,8 @@ class TrifocalPoseEngine:
             actual_sol_steps=actual_steps,
             cand_f21=f21s,
             cand_f31=f31s,
+            min_residuals=min_res,
+            any_within_gt=any_gt,
         )
         if collect_solutions:
             rr.solutions = res  # type: ignore[attr-defined]
@@ -607,20 +616,33 @@ class TrifocalPoseEngine:
         best_pose = None
         actual_steps = np.zeros(0, np.int32)
         f21s = f31s = np.zeros((0, 3, 3), np.float32)
+        min_residuals = None
+        any_within_gt = False
         if n_cand:
-            xs = _pad_to(
-                res.x[cand_idx].real.astype(np.float32), _CANDIDATE_CAP
-            )
-            r21, r31, t21, t31 = map(np.asarray, self._pose_fn(xs))
             edgels = _pad_to(
                 view.edge_locations,
                 _EDGEL_PAD * -(-n_edgels // _EDGEL_PAD), 1e3,
             )
-            n21, n31 = self._score_fn(
-                r21, r31, t21, t31, edgels, self._intrinsics
+            xs_all = res.x[cand_idx].real.astype(np.float32)
+            # Score in fixed-size chunks: the jit programs stay compiled
+            # once (shape _CANDIDATE_CAP) while EVERY candidate is scored
+            # -- an earlier cap silently dropped candidates beyond 512,
+            # which TrunPaths-off ablation rounds can exceed by 20x.
+            parts = [[] for _ in range(6)]  # r21 r31 t21 t31 n21 n31
+            for lo in range(0, n_cand, _CANDIDATE_CAP):
+                take = min(_CANDIDATE_CAP, n_cand - lo)
+                xs = _pad_to(xs_all[lo:lo + _CANDIDATE_CAP], _CANDIDATE_CAP)
+                r21c, r31c, t21c, t31c = map(np.asarray, self._pose_fn(xs))
+                n21c, n31c = self._score_fn(
+                    r21c, r31c, t21c, t31c, edgels, self._intrinsics
+                )
+                for lst, a in zip(parts, (r21c, r31c, t21c, t31c,
+                                          np.asarray(n21c),
+                                          np.asarray(n31c))):
+                    lst.append(a[:take])
+            r21, r31, t21, t31, n21, n31 = (
+                np.concatenate(p) for p in parts
             )
-            n21 = np.asarray(n21)[: min(n_cand, _CANDIDATE_CAP)]
-            n31 = np.asarray(n31)[: min(n_cand, _CANDIDATE_CAP)]
             bi = int(np.argmax(np.minimum(n21, n31)))
             best21, best31 = int(n21[bi]), int(n31[bi])
             ratio = cfg.ransac.pass_inlier_support_ratio
@@ -631,17 +653,22 @@ class TrifocalPoseEngine:
                 r21[bi], r31[bi], t21[bi], t31[bi],
                 view.gt_pose21, view.gt_pose31,
             )
+            # Min residuals over ALL candidate poses + any-within-tol flag
+            # (Evaluations.cpp:545-583, the success_flag the reference's
+            # accuracy tables are built from).
+            min_residuals, any_within_gt = evl.min_residuals_over_sols(
+                r21, r31, t21, t31, view.gt_pose21, view.gt_pose31,
+                cfg.ransac,
+            )
             # "Actual solutions": candidates tying the maximal support on
             # either view pair (Evaluations.cpp:457-504 index vectors,
             # union at :512-515); their HC step counts feed the
             # *HC_Steps_of_Actual_Solutions.txt writer.
-            mx = cand_idx[: min(n_cand, _CANDIDATE_CAP)]
             actual = np.union1d(
-                mx[n21 == n21.max()], mx[n31 == n31.max()]
+                cand_idx[n21 == n21.max()], cand_idx[n31 == n31.max()]
             )
             actual_steps = res.num_steps[actual].astype(np.int32)
-            nc = min(n_cand, _CANDIDATE_CAP)
-            # Host numpy: 3x3 work on <=512 candidates (eager device ops
+            # Host numpy: 3x3 work on the candidates (eager device ops
             # here would cost seconds of tunnel round trips per round).
             kinv = np.linalg.inv(self._intrinsics)
 
@@ -652,10 +679,11 @@ class TrifocalPoseEngine:
                 sk[:, 2, 0], sk[:, 2, 1] = -t[:, 1], t[:, 0]
                 return kinv.T @ (sk @ r) @ kinv
 
-            f21s = _fmats(r21[:nc], t21[:nc])
-            f31s = _fmats(r31[:nc], t31[:nc])
+            f21s = _fmats(r21, t21)
+            f31s = _fmats(r31, t31)
         return (stats, n_cand, best21, best31, found, best_pose,
-                pose_errors, actual_steps, f21s, f31s)
+                pose_errors, actual_steps, f21s, f31s, min_residuals,
+                any_within_gt)
 
     def _staged_x0(self, Hp: int):
         """Device-resident start-solution planes, staged once per H."""

@@ -23,16 +23,39 @@ from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import Ransa
 
 @dataclasses.dataclass
 class SolutionStats:
-    """Per-round solution statistics (Evaluations.cpp:145-182)."""
+    """Per-round solution statistics (Evaluations.cpp:145-182).
+
+    The Percentage_Of_* fields (Evaluations.hpp:78-81) are exposed as
+    properties; num_unique is filled by the caller when a dedup pass ran
+    (-1 = not computed).  The reference declares Percentage_Of_Unique_Sols
+    but never assigns it (always 0.0); here it is unique/num_paths.
+    """
 
     num_converged: int
     num_infinity: int
     num_real: int
     num_paths: int
+    num_unique: int = -1
 
     @property
     def pct_converged(self) -> float:
+        """Percentage_Of_Convergence (Evaluations.cpp:179)."""
         return self.num_converged / max(self.num_paths, 1)
+
+    @property
+    def pct_infinity(self) -> float:
+        """Percentage_Of_Inf_Sols (Evaluations.cpp:180)."""
+        return self.num_infinity / max(self.num_paths, 1)
+
+    @property
+    def pct_real(self) -> float:
+        """Percentage_Of_Real_Sols (Evaluations.cpp:181)."""
+        return self.num_real / max(self.num_paths, 1)
+
+    @property
+    def pct_unique(self) -> float:
+        """Percentage_Of_Unique_Sols (Evaluations.hpp:81; see class doc)."""
+        return max(self.num_unique, 0) / max(self.num_paths, 1)
 
 
 def collect_stats(
@@ -77,6 +100,76 @@ def find_unique_solutions(
         d &= np.abs(xs.imag - xs.imag[i]) < tol
         taken |= d.all(axis=-1)
     return np.asarray(keep)
+
+
+def find_unique_solutions_reference(
+    x: np.ndarray, converged: np.ndarray, num_tracks: int, tol: float = 1e-4
+) -> np.ndarray:
+    """Exact reference Find_Unique_Sols semantics (Evaluations.cpp:184-233).
+
+    Differences from find_unique_solutions, preserved as quirks so
+    ``--dedup-mode reference`` reproduces the reference's exact count:
+    only RANSAC iteration 0 is scanned (the loop runs bs < num_of_tracks);
+    the duplicate scan compares against ALL later tracks regardless of
+    their convergence; and the skip set is REPLACED by the latest
+    duplicate set rather than accumulated (:231), so a duplicate of an
+    earlier solution can itself be counted unique later.
+    """
+    n = min(num_tracks, x.shape[0])
+    keep = []
+    skip: set = set()
+    for bs in range(n):
+        if not converged[bs]:
+            continue
+        if skip and bs in skip:
+            continue
+        d = np.abs(x[bs + 1:n].real - x[bs].real) < tol
+        d &= np.abs(x[bs + 1:n].imag - x[bs].imag) < tol
+        dup = np.nonzero(d.all(axis=-1))[0] + bs + 1
+        if dup.size == 0:
+            keep.append(bs)
+        else:
+            skip = set(int(i) for i in dup)
+    return np.asarray(keep, dtype=np.int64)
+
+
+def min_residuals_over_sols(
+    r21s: np.ndarray,
+    r31s: np.ndarray,
+    t21s: np.ndarray,
+    t31s: np.ndarray,
+    gt_pose21: np.ndarray,
+    gt_pose31: np.ndarray,
+    ransac: RansacConfig,
+) -> Tuple["PoseErrors", bool]:
+    """Min residual over all candidate poses + any-within-tol success flag.
+
+    Measure_Relative_Pose_Error_from_All_Real_Sols (Evaluations.cpp:545-583):
+    each residual is minimised independently over the candidate set, and
+    success_flag is true when ANY single pose has all four residuals within
+    tolerance.  Empty candidate set keeps the 100.0 init (:41-44).
+    """
+    gr21, gt21u = decompose_gt_pose(gt_pose21)
+    gr31, gt31u = decompose_gt_pose(gt_pose31)
+    if len(r21s) == 0:
+        return PoseErrors(100.0, 100.0, 100.0, 100.0), False
+    rr21 = rotation_residual(gr21, r21s)
+    rr31 = rotation_residual(gr31, r31s)
+    tt21 = translation_residual(gt21u, t21s)
+    tt31 = translation_residual(gt31u, t31s)
+    success = bool(np.any(
+        (rr21 < ransac.rot_residual_tol)
+        & (rr31 < ransac.rot_residual_tol)
+        & (tt21 < ransac.transl_residual_tol)
+        & (tt31 < ransac.transl_residual_tol)
+    ))
+    return (
+        PoseErrors(
+            rot21=float(rr21.min()), rot31=float(rr31.min()),
+            transl21=float(tt21.min()), transl31=float(tt31.min()),
+        ),
+        success,
+    )
 
 
 def rotation_residual(r_gt: np.ndarray, r: np.ndarray) -> np.ndarray:
