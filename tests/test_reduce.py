@@ -1,0 +1,145 @@
+"""Condensed-elimination tests: plan structure, host-oracle agreement
+with both np.linalg.solve and the full static schedule, the fused
+constants' reduced layout invariants, and cross-solver tracker parity."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
+    fused,
+    ransac,
+    reduce as red,
+    schedule as sched,
+)
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils import data_io
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+    ransac_data_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def hc(cfg):
+    return dataclasses.replace(cfg.hc, max_steps=12)
+
+
+@pytest.fixture(scope="module")
+def workload(cfg, problem):
+    view = data_io.load_ransac_view(ransac_data_dir(cfg), 0)
+    samples = ransac.sample_edgel_triplets(
+        0, view.edge_locations.shape[0], 1
+    )
+    tgt = ransac.build_target_params(
+        view.edge_locations, view.edge_tangents, samples
+    )
+    tgt_b = np.repeat(tgt, 96, axis=0)
+    diff_b = tgt_b - problem.start_params
+    x0 = np.asarray(problem.start_sols)[:96]
+    return x0, tgt_b, diff_b
+
+
+@pytest.fixture(scope="module")
+def pattern(problem):
+    f = problem.factored
+    n = problem.num_vars
+    return f.hx_scatter.reshape(n, n) != f.hx_C.shape[1]
+
+
+@pytest.fixture(scope="module")
+def plan(pattern):
+    p = red.build_reduction(pattern)
+    assert p is not None
+    return p
+
+
+def test_plan_structure(plan):
+    """The trifocal pattern condenses into 6 depth triples, 4 quads and
+    2 pairs (16 pivots in 3 batched stages) over a 14-step reduced
+    schedule -- the structure the kernel metadata is built for."""
+    shapes = sorted(
+        (f.level, f.g, f.l, len(f.groups)) for f in plan.families
+    )
+    assert shapes == [(0, 3, 1, 6), (0, 3, 2, 4), (1, 2, 1, 2)]
+    assert plan.schedule.n == 14
+    assert plan.num_group_pivots + plan.schedule.n == plan.n == 30
+    # Reduced windows shrink to <=14 rows (vs 30 in the full schedule).
+    assert max(len(st.rows) for st in plan.schedule.steps) == 14
+
+
+def test_solve_matches_lapack_and_schedule(plan, pattern):
+    """reduce.solve_numpy == np.linalg.solve on well-conditioned systems
+    and == schedule.solve_numpy to summation-order noise: the condensed
+    path keeps the full schedule's pivot choices (module doc)."""
+    n = pattern.shape[0]
+    s_full = sched.build_schedule(pattern)
+    rng = np.random.default_rng(0)
+    for trial in range(50):
+        vals = rng.standard_normal(pattern.sum()) \
+            + 1j * rng.standard_normal(pattern.sum())
+        if trial % 4 == 1:
+            vals *= 10.0 ** rng.uniform(-4, 4, pattern.sum())
+        a = np.zeros((n, n), complex)
+        a[pattern] = vals
+        b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        x_red = red.solve_numpy(plan, a, b)
+        x_sch = sched.solve_numpy(s_full, a, b)
+        np.testing.assert_allclose(x_red, x_sch, rtol=1e-8, atol=1e-10)
+        if np.linalg.cond(a) < 1e8:
+            np.testing.assert_allclose(
+                x_red, np.linalg.solve(a, b), rtol=1e-6, atol=1e-9
+            )
+
+
+def test_reduced_layout_invariants(problem):
+    c = fused.FusedConstants.build(problem, solver="reduced")
+    assert c.reduced is not None
+    meta = c.reduced
+    n = len(c.perm)
+    assert meta.col_off % 8 == 0
+    assert meta.col_off + meta.n2 == n
+    # Save slots partition [0, n): families then reduced steps.
+    slots = []
+    for fam in meta.fams:
+        slots.extend(range(fam.base, fam.base + fam.l * fam.nG))
+        # The iota-diagonal invariant: step k's local columns occupy
+        # positions base + k*nG + q.
+        for k in range(fam.l):
+            for q in range(fam.nG):
+                p = fam.base + k * fam.nG + q
+                assert fam.blk[0] <= p < fam.blk[1]
+    slots.extend(range(meta.col_off, meta.col_off + meta.n2))
+    assert sorted(slots) == list(range(n))
+    # Every final row is written exactly once by some family's out_runs.
+    written = []
+    for fam in meta.fams:
+        if fam.out_runs is not None:
+            for runs in fam.out_runs:
+                for lo, hi, _src in runs:
+                    written.extend(range(lo, hi))
+    assert sorted(written) == list(range(meta.n2))
+    # The schedule fallback builds the original layout.
+    c2 = fused.FusedConstants.build(problem, solver="schedule")
+    assert c2.reduced is None and len(c2.steps) == n
+
+
+@pytest.mark.slow
+def test_cross_solver_tracker_parity(problem, hc, workload):
+    """Reduced and schedule fused kernels agree path-for-path (interpret
+    mode, plain f32): same pivots and update arithmetic, only backsub
+    summation order differs -- flags must match on the test workload."""
+    x0, tgt_b, diff_b = workload
+    hc_r = dataclasses.replace(hc, solver="reduced")
+    hc_s = dataclasses.replace(hc, solver="schedule")
+    rr = fused.make_track_fn(problem, hc_r, interpret=True)(
+        x0, tgt_b, diff_b
+    )
+    rs = fused.make_track_fn(problem, hc_s, interpret=True)(
+        x0, tgt_b, diff_b
+    )
+    assert (rr.num_steps == rs.num_steps).all()
+    assert (rr.converged == rs.converged).all()
+    assert (rr.pruned == rs.pruned).all()
+    conv = rr.converged
+    rel = np.abs(rr.x[conv] - rs.x[conv]).max() / np.abs(rs.x[conv]).max()
+    assert rel < 1e-4

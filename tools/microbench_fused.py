@@ -117,7 +117,11 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                 out[:] += u[:n, :T] + x3[:n, :T]
             elif phase == "back":
                 sv_re[0, 0:1] = sv_re[0, 0:1] + t_w[:, :T]
-                dr, di = fused._backsub(c, sv_re, sv_im, xe_re, xe_im, T)
+                if c.reduced is not None:
+                    dr, di = fused._reduce_backsub(
+                        c, sv_re, sv_im, xe_re, xe_im, T)
+                else:
+                    dr, di = fused._backsub(c, sv_re, sv_im, xe_re, xe_im, T)
                 out[:] += dr + di
             else:
                 fused._fill_P(c, prk, agq, t_w, rk=True)
@@ -130,7 +134,11 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                     if phase == "evasm":
                         out[:] += m_sc[:, 0, :T]
                     elif phase == "elim":
-                        fused._eliminate(c, m_sc, sv_re, sv_im, used, T)
+                        if c.reduced is not None:
+                            fused._reduce_forward(
+                                c, m_sc, sv_re, sv_im, used, T)
+                        else:
+                            fused._eliminate(c, m_sc, sv_re, sv_im, used, T)
                         out[:] += sv_re[:, 0, :] + sv_im[:, 0, :]
                     else:
                         dr, di = fused._solve(
@@ -144,7 +152,7 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
 
 
 def run_phase(problem, cfg, phase: str, iters: int):
-    c = fused.FusedConstants.build(problem)
+    c = fused.FusedConstants.build(problem, solver=cfg.hc.solver)
     T = TILE
     kernel, n, width = build_phase_kernel(c, cfg, phase, T)
     kp = c.kp
@@ -220,7 +228,7 @@ def run_phase(problem, cfg, phase: str, iters: int):
 
 def run_step(problem, cfg, iters: int):
     """Full one_step cost via the production kernel with fresh state."""
-    c = fused.FusedConstants.build(problem)
+    c = fused.FusedConstants.build(problem, solver=cfg.hc.solver)
     run = fused.build_kernel_caller(c, problem, cfg.hc, TILE, iters, False)
     view = data_io.load_ransac_view(ransac_data_dir(cfg), 0)
     samples = ransac.sample_edgel_triplets(0, view.edge_locations.shape[0], 1)
@@ -259,12 +267,21 @@ def run_step(problem, cfg, iters: int):
 
 
 def main():
-    phases = sys.argv[1:] or [
+    import dataclasses
+
+    args = sys.argv[1:]
+    cfg = EngineConfig()
+    if "--schedule" in args:
+        args.remove("--schedule")
+        cfg = dataclasses.replace(
+            cfg, hc=dataclasses.replace(cfg.hc, solver="schedule")
+        )
+    phases = args or [
         "fillp", "mm5", "front", "eval", "evasm", "elim", "back",
         "evsolve", "step",
     ]
-    cfg = EngineConfig()
     problem = TrifocalProblem.load(cfg)
+    print(f"solver: {cfg.hc.solver}")
     for ph in phases:
         if ph == "step":
             us = run_step(problem, cfg, 64)

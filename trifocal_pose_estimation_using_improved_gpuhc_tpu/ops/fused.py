@@ -57,7 +57,7 @@ line; see its docstring for the reference citations.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 from trifocal_pose_estimation_using_improved_gpuhc_tpu.models.trifocal import (
     TrifocalProblem,
 )
+from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import reduce as redu
 from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import schedule as sched
 from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops.tracker import TrackResult
 from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import HCConfig
@@ -138,6 +139,299 @@ def _ceil8(n: int) -> int:
 
 
 @dataclasses.dataclass(frozen=True)
+class FamMeta:
+    """Kernel metadata for one batched elimination family (ops/reduce.py).
+
+    m rows of a level-0 family are laid out SLOT-MAJOR: group q's j-th row
+    (ascending original order) sits at ``src_row_lo + j*nG + q`` so every
+    per-slot tensor is one contiguous (nG, cols, T) slice -- no strided or
+    4D access, only shapes the Mosaic backend already lowers.
+    """
+
+    g: int                       # rows per group
+    l: int                       # local columns (pivots) per group
+    nG: int                      # groups in the family
+    src_row_lo: int              # m row base (level-0 families); -1 consumer
+    src_fam: int                 # producer family index (consumers); -1
+    src_slot_lo: Tuple[int, ...]  # per slot: start row into producer outs
+    blk: Tuple[int, int]         # m col block holding the local columns
+    blk_extra: bool              # block holds live cols beyond own locals
+    base: int                    # col-position base == sv save-slot base
+    # Step k's local columns sit at positions base + k*nG + q by
+    # construction, so column selection inside the kernel is an iota
+    # diagonal -- no captured constant matrices (Mosaic requires kernel
+    # constants to arrive as inputs).
+    # m2 stores: per output slot s, runs of (dst_lo, dst_hi, src_lo) group
+    # indices; None when the outputs feed a later family instead.
+    out_runs: Optional[Tuple[Tuple[Tuple[int, int, int], ...], ...]]
+
+
+@dataclasses.dataclass(frozen=True)
+class ReducedMeta:
+    """Condensed-solve metadata: families + the reduced system plan.
+
+    The reduced system occupies m rows [0:n2] at columns
+    [col_off:width] (the surviving columns were permuted to the tail),
+    so no extra scratch is needed: family stages read original rows
+    first, then overwrite the head rows with the compacted system.
+    """
+
+    n2: int
+    col_off: int
+    fams: Tuple[FamMeta, ...]
+    red_steps: Tuple[Tuple[int, Tuple[Tuple[int, int], ...], int], ...]
+    red_plan: Tuple[Tuple, ...]  # grouped steps, as FusedConstants.elim_plan
+
+
+def _group_plan(flat):
+    """Group consecutive steps with identical single-run windows (shared
+    load/store); mirrors FusedConstants.build's elimination plan."""
+    plan: List[Tuple] = []
+    i = 0
+    while i < len(flat):
+        sc, runs, lo, fresh, last = flat[i]
+        j = i + 1
+        while (j < len(flat) and len(runs) == 1
+               and flat[j][1] == runs and flat[j][2] == lo):
+            j += 1
+        plan.append((tuple(flat[i:j]), runs, lo))
+        i = j
+    return tuple(plan)
+
+
+def _fresh_last_flags(steps):
+    """Annotate (s, runs, lo) steps with fresh/last used-mask flags."""
+    rows_of = [set(r for a, b in runs for r in range(a, b))
+               for _, runs, _ in steps]
+    flat: List[Tuple] = []
+    for si, (sc, runs, lo) in enumerate(steps):
+        before = set().union(*rows_of[:si]) if si else set()
+        after = (set().union(*rows_of[si + 1:])
+                 if si + 1 < len(steps) else set())
+        flat.append((sc, runs, lo,
+                     not (rows_of[si] & before),
+                     not (rows_of[si] & after)))
+    return flat
+
+
+def _reduced_layout(plan: redu.ReductionPlan):
+    """Derive (perm, row_order, ReducedMeta) from a reduction plan.
+
+    Returns None when the plan's shape falls outside what the kernel
+    supports (then the plain schedule path is used): exactly two levels,
+    no level-0 passthrough rows, family-major group order consistent
+    with the oracle's sorted order, 8-aligned group-pivot count, and
+    consumer families reading contiguous slot runs of ONE producer.
+    """
+    n = plan.n
+    if plan.num_levels != 2 or any(f.level > 1 for f in plan.families):
+        return None
+    fams0 = [f for f in plan.families if f.level == 0]
+    fams1 = [f for f in plan.families if f.level == 1]
+    groups0 = sorted(
+        (g for f in fams0 for g in f.groups), key=lambda g: g.rows
+    )
+    if [g for f in fams0 for g in f.groups] != groups0:
+        return None
+    if sorted(r for g in groups0 for r in g.rows) != list(range(n)):
+        return None
+    groups1 = sorted(
+        (g for f in fams1 for g in f.groups), key=lambda g: g.rows
+    )
+    if [g for f in fams1 for g in f.groups] != groups1:
+        return None
+
+    kernel_fams = fams0 + fams1
+    fam_base: List[int] = []
+    base = 0
+    perm = np.empty(n, np.int32)
+    for f in kernel_fams:
+        fam_base.append(base)
+        nG = len(f.groups)
+        for k in range(f.l):
+            for q, gr in enumerate(f.groups):
+                perm[base + k * nG + q] = gr.local_cols[k]
+        base += f.l * nG
+    col_off = base
+    n2 = plan.schedule.n
+    if col_off % 8 or col_off + n2 != n:
+        return None
+    for j, c in enumerate(plan.final_cols):
+        perm[col_off + j] = c
+    pos_of_var = np.argsort(perm).astype(np.int32)
+
+    # m row order, slot-major per level-0 family.
+    row_order: List[int] = []
+    src_row_lo: List[int] = []
+    for f in fams0:
+        src_row_lo.append(len(row_order))
+        for j in range(f.g):
+            for gr in f.groups:
+                row_order.append(gr.rows[j])
+    row_order_a = np.array(row_order, np.int32)
+
+    # Level-0 global (group-major) output indexing, for provenance.
+    out_start: List[int] = []
+    acc = 0
+    for gr in groups0:
+        out_start.append(acc)
+        acc += len(gr.rows) - len(gr.local_cols)
+    total_outs0 = acc
+    gi_of_group = {gr.rows: gi for gi, gr in enumerate(groups0)}
+    # fam-of-out and slot-major index per level-0 out.
+    fam_of_out: dict = {}
+    for f0i, f in enumerate(fams0):
+        nG = len(f.groups)
+        for q, gr in enumerate(f.groups):
+            gi = gi_of_group[gr.rows]
+            for s in range(f.g - f.l):
+                fam_of_out[out_start[gi] + s] = (f0i, s * nG + q, s, q)
+
+    consumed_by: dict = {}
+    for f1i, f in enumerate(fams1):
+        for gr in f.groups:
+            for r in gr.rows:
+                if r >= total_outs0:
+                    return None  # level-1 passthrough input unsupported
+                consumed_by[r] = f1i
+
+    # Final rows: level-1 outs (global group order) then passthrough
+    # level-1 inputs ascending (ops/reduce._level_output_refs).
+    n_outs1 = sum(
+        len(g.rows) - len(g.local_cols) for f in fams1 for g in f.groups
+    )
+    passthrough1 = [r for r in range(total_outs0) if r not in consumed_by]
+    final_of_input1 = {
+        r: n_outs1 + i for i, r in enumerate(passthrough1)
+    }
+    order2 = sched.find_interval_row_order(plan.schedule)
+    pos_of_row2 = np.argsort(order2)
+
+    def runs_of(pairs):
+        """(dst_pos, src_idx) pairs -> maximal (dst_lo, dst_hi, src_lo)
+        runs where consecutive sources land on consecutive positions."""
+        pairs = sorted(pairs, key=lambda t: t[1])
+        runs: List[List[int]] = []
+        for dst, src in pairs:
+            if runs and src == runs[-1][3] + 1 and dst == runs[-1][1]:
+                runs[-1][1] += 1
+                runs[-1][3] = src
+            else:
+                runs.append([dst, dst + 1, src, src])
+        return tuple((lo, hi, s0) for lo, hi, s0, _ in runs)
+
+    metas: List[FamMeta] = []
+    level_pats = plan.level_patterns
+    for fi, f in enumerate(kernel_fams):
+        nG = len(f.groups)
+        # Kernel compaction supports one survivor (any g) or the sorted
+        # two-survivor form of (3, 1) groups.
+        if not (f.g - f.l == 1 or (f.l == 1 and f.g == 3)):
+            return None
+        # Structural column block of the family's inputs.
+        own_pos = set(
+            int(pos_of_var[c]) for gr in f.groups for c in gr.local_cols
+        )
+        needed = set(own_pos)
+        extra = False
+        for gr in f.groups:
+            for r in gr.rows:
+                for ocol in level_pats[f.level][r]:
+                    p = int(pos_of_var[ocol])
+                    if p < col_off:
+                        needed.add(p)
+                        if p not in own_pos:
+                            extra = True
+        blo = (min(needed) // 8) * 8
+        bhi = _ceil8(max(needed) + 1)
+        if bhi > col_off:
+            return None
+        bw = bhi - blo
+        del bw
+        # Verify the iota-diagonal invariant the kernel relies on.
+        for k in range(f.l):
+            for q, gr in enumerate(f.groups):
+                if int(pos_of_var[gr.local_cols[k]]) != \
+                        fam_base[fi] + k * nG + q:
+                    return None
+        if f.level == 0:
+            sfam, slot_lo = -1, ()
+        else:
+            # Consumer: every slot must be one contiguous run of a single
+            # producer family's slot-major outputs.
+            prods = {
+                fam_of_out[r][0] for gr in f.groups for r in gr.rows
+            }
+            if len(prods) != 1:
+                return None
+            sfam = prods.pop()
+            pf = fams0[sfam]
+            slot_lo_l: List[int] = []
+            for j in range(f.g):
+                sm = [fam_of_out[gr.rows[j]][1] for gr in f.groups]
+                if sm != list(range(sm[0], sm[0] + nG)):
+                    return None
+                if sm[0] // len(pf.groups) != \
+                        (sm[0] + nG - 1) // len(pf.groups):
+                    return None  # run crosses producer slot tensors
+                slot_lo_l.append(sm[0])
+            slot_lo = tuple(slot_lo_l)
+            # The consumer's column block must sit inside the producer's
+            # (its input values only exist over the producer's block).
+            if blo < metas[sfam].blk[0] or bhi > metas[sfam].blk[1]:
+                return None
+        # m2 output runs (None when consumed by a later family).
+        first_out = (
+            out_start[gi_of_group[f.groups[0].rows]]
+            if f.level == 0 else None
+        )
+        if f.level == 0 and first_out in consumed_by:
+            if any(
+                out_start[gi_of_group[gr.rows]] + s not in consumed_by
+                for gr in f.groups for s in range(f.g - f.l)
+            ):
+                return None  # partially consumed family unsupported
+            out_runs = None
+        else:
+            out_runs_l: List[Tuple] = []
+            for s in range(f.g - f.l):
+                pairs = []
+                for q, gr in enumerate(f.groups):
+                    if f.level == 0:
+                        o = out_start[gi_of_group[gr.rows]] + s
+                        fr = final_of_input1[o]
+                    else:
+                        # Level-1 outs precede passthrough in final rows.
+                        prior = sum(
+                            len(g2.rows) - len(g2.local_cols)
+                            for g2 in groups1[:groups1.index(gr)]
+                        )
+                        fr = prior + s
+                    pairs.append((int(pos_of_row2[fr]), q))
+                out_runs_l.append(runs_of(pairs))
+            out_runs = tuple(out_runs_l)
+        metas.append(FamMeta(
+            g=f.g, l=f.l, nG=nG,
+            src_row_lo=src_row_lo[fi] if f.level == 0 else -1,
+            src_fam=sfam if f.level > 0 else -1,
+            src_slot_lo=slot_lo if f.level > 0 else (),
+            blk=(blo, bhi), blk_extra=extra,
+            base=fam_base[fi], out_runs=out_runs,
+        ))
+
+    red_steps = tuple(
+        (j, sched.row_runs(st.rows, pos_of_row2), (j // 8) * 8)
+        for j, st in enumerate(plan.schedule.steps)
+    )
+    red_plan = _group_plan(_fresh_last_flags(red_steps))
+    meta = ReducedMeta(
+        n2=n2, col_off=col_off, fams=tuple(metas),
+        red_steps=red_steps, red_plan=red_plan,
+    )
+    return perm, row_order_a, meta
+
+
+@dataclasses.dataclass(frozen=True)
 class FusedConstants:
     """All numpy constants consumed by the kernel (see build()).
 
@@ -165,6 +459,8 @@ class FusedConstants:
     steps: Tuple[Tuple, ...]  # (pos, row runs ((lo,hi),...), col_lo)
     elim_plan: Tuple[Tuple, ...]   # steps + (fresh, last) used-mask flags
     depth_rows: Tuple[int, ...]    # permuted positions of depth vars 0..7
+    reduced: Optional[ReducedMeta]  # condensed-solve metadata (None =
+    # plain schedule path; steps/elim_plan are then empty)
     sec_a: int                # rows per front block (qpad + cpad)
     qpad: int                 # 8-aligned quad-monomial section rows
     cpad: int                 # 8-aligned cubic-monomial section rows
@@ -182,14 +478,28 @@ class FusedConstants:
         return self.k2p + self.k3p
 
     @classmethod
-    def build(cls, problem: TrifocalProblem) -> "FusedConstants":
+    def build(cls, problem: TrifocalProblem,
+              solver: str = "reduced") -> "FusedConstants":
         f = problem.factored
         n = problem.num_vars
         nnz_total = f.hx_C.shape[1]
         pattern = f.hx_scatter.reshape(n, n) != nnz_total
         s = sched.build_schedule(pattern)
 
-        perm = np.array([st.col for st in s.steps], np.int32)
+        # Condensed layout (ops/reduce.py): batched group families +
+        # compacted reduced system.  Falls back to the plain schedule when
+        # the pattern has no kernel-supported condensation.
+        reduced = None
+        if solver == "reduced":
+            plan = redu.build_reduction(pattern)
+            layout = _reduced_layout(plan) if plan is not None else None
+            if layout is not None:
+                r_perm, r_row_order, reduced = layout
+
+        if reduced is not None:
+            perm = r_perm
+        else:
+            perm = np.array([st.col for st in s.steps], np.int32)
         pos_of_var = np.argsort(perm).astype(np.int32)
 
         def pvar(v):  # permute a var index, keeping the homogeneous slot
@@ -223,8 +533,12 @@ class FusedConstants:
         ohq23[k2p:k2p + k3] = _onehot(f.ht_q, q)
 
         # Row (equation) permutation making every step's candidate set one
-        # contiguous slice of rows (verified single-run for this problem).
-        row_order = sched.find_interval_row_order(s)
+        # contiguous slice of rows (verified single-run for this problem);
+        # the condensed layout instead stripes family groups slot-major.
+        if reduced is not None:
+            row_order = r_row_order
+        else:
+            row_order = sched.find_interval_row_order(s)
         pos_of_row = np.argsort(row_order).astype(np.int32)
 
         # Canonical Hx nonzero order: sorted by (row position, permuted
@@ -263,51 +577,30 @@ class FusedConstants:
             row_runs_v.append(tuple(runs))
         assert base == nnz_total
 
-        # Elimination steps: position s eliminates permuted column s;
-        # candidate rows become contiguous runs under row_order; the active
-        # column slice starts at the 8-aligned floor of s.
-        steps = tuple(
-            (
-                si,
-                sched.row_runs(st.rows, pos_of_row),
-                (si // 8) * 8,
-            )
-            for si, st in enumerate(s.steps)
-        )
         depth_rows = tuple(int(pos_of_var[v]) for v in range(8))
 
-        # --- Elimination step metadata -------------------------------------
-        # fresh: no candidate row was a candidate of any earlier step, so
-        # the used-mask is statically all-zero (skip its load + where);
-        # last: no candidate row appears in any later step, so the updated
-        # used-mask is never read again (skip its store).  A full levelled
-        # batching of row-disjoint steps was implemented and measured
-        # SLOWER end-to-end on v5e (745 vs 693 ms per H=100 round), so the
-        # elimination stays sequential.
-        rows_of = [set(r for a, b in runs for r in range(a, b))
-                   for _, runs, _ in steps]
-        flat: List[Tuple] = []
-        for si, (sc, runs, lo) in enumerate(steps):
-            before = set().union(*rows_of[:si]) if si else set()
-            after = set().union(*rows_of[si + 1:]) if si + 1 < len(steps) else set()
-            fresh = not (rows_of[si] & before)
-            last = not (rows_of[si] & after)
-            flat.append((sc, runs, lo, fresh, last))
-        # Group consecutive steps with IDENTICAL single-run windows (the
-        # dense tail eliminates 6 columns from the same 30x8 block): the
-        # window loads once, all pivots/updates run on values, and stores
-        # happen once per group -- each shared load/store pair saved is
-        # ~120 vector registers of pure traffic.
-        plan: List[Tuple] = []
-        i = 0
-        while i < len(flat):
-            sc, runs, lo, fresh, last = flat[i]
-            j = i + 1
-            while (j < len(flat) and len(runs) == 1
-                   and flat[j][1] == runs and flat[j][2] == lo):
-                j += 1
-            plan.append((tuple(flat[i:j]), runs, lo))
-            i = j
+        # Elimination steps (plain-schedule path only): position s
+        # eliminates permuted column s; candidate rows become contiguous
+        # runs under row_order; the active column slice starts at the
+        # 8-aligned floor of s.  fresh: no candidate row was a candidate
+        # of any earlier step, so the used-mask is statically all-zero
+        # (skip its load + where); last: no candidate row appears in any
+        # later step, so the updated used-mask is never read again (skip
+        # its store).  Consecutive steps with IDENTICAL single-run windows
+        # share one load/store (the dense tail eliminates 6 columns from
+        # the same block).  A full levelled batching of row-disjoint steps
+        # WITHOUT compaction was measured slower end-to-end on v5e (745 vs
+        # 693 ms per H=100 round); the condensed path (ops/reduce.py)
+        # differs by compacting dead rows out of every later window.
+        if reduced is not None:
+            steps: Tuple[Tuple, ...] = ()
+            plan: Tuple[Tuple, ...] = ()
+        else:
+            steps = tuple(
+                (si, sched.row_runs(st.rows, pos_of_row), (si // 8) * 8)
+                for si, st in enumerate(s.steps)
+            )
+            plan = _group_plan(_fresh_last_flags(steps))
         return cls(
             perm=perm,
             pos_of_var=pos_of_var,
@@ -321,8 +614,9 @@ class FusedConstants:
             row_order=row_order,
             row_runs_v=tuple(row_runs_v),
             steps=steps,
-            elim_plan=tuple(plan),
+            elim_plan=plan,
             depth_rows=depth_rows,
+            reduced=reduced,
             sec_a=sec_a,
             qpad=qpad,
             cpad=cpad,
@@ -417,14 +711,20 @@ def _solve(c: FusedConstants, m, sv_re, sv_im, used, xe_re, xe_im, T: int,
            save=None):
     """Structured partial-pivoted elimination + back-substitution.
 
-    Batched (lanes = paths) version of schedule.solve_numpy; the pivot
-    metric and zero-pivot guard mirror dev-cgesv-batched-small.cuh:50-95.
+    Batched (lanes = paths) version of schedule.solve_numpy (or, on the
+    condensed path, reduce.solve_numpy); the pivot metric and zero-pivot
+    guard mirror dev-cgesv-batched-small.cuh:50-95.
     Returns dx (30, T) complex planes in permuted variable order.
 
     save = (foh, ffr, ffi) scratch refs: record each step's pivot one-hot
     and elimination multipliers so _resolve_rhs can re-apply the same
-    factorization to a new right-hand side (frozen-Jacobian RK stages).
+    factorization to a new right-hand side (frozen-Jacobian RK stages;
+    plain-schedule path only).
     """
+    if c.reduced is not None:
+        assert save is None, "rk_jacobian_reuse requires solver='schedule'"
+        _reduce_forward(c, m, sv_re, sv_im, used, T)
+        return _reduce_backsub(c, sv_re, sv_im, xe_re, xe_im, T)
     _eliminate(c, m, sv_re, sv_im, used, T, save=save)
     return _backsub(c, sv_re, sv_im, xe_re, xe_im, T)
 
@@ -438,7 +738,7 @@ def _eliminate(c: FusedConstants, m, sv_re, sv_im, used, T: int, save=None):
     stores once.  fresh/last flags elide used-mask work where the rows are
     first/last touched.
     """
-    n = len(c.steps)
+    n = len(c.perm)
     width = n + 2
     # Non-fresh steps may still contain rows first touched THIS step (mixed
     # candidate sets), so the mask must start at zero every solve.
@@ -511,7 +811,7 @@ def _backsub(c: FusedConstants, sv_re, sv_im, xe_re, xe_im, T: int):
     concatenations materialise (the list-of-rows version cost ~30 extra
     vector copies per solve).
     """
-    n = len(c.steps)
+    n = len(c.perm)
     width = n + 2
     xe_re[:] = jnp.zeros((width, T), jnp.float32)
     xe_im[:] = jnp.zeros((width, T), jnp.float32)
@@ -535,6 +835,292 @@ def _backsub(c: FusedConstants, sv_re, sv_im, xe_re, xe_im, T: int):
     return xe_re[:n], xe_im[:n]
 
 
+def _fam_forward(c: FusedConstants, fam: FamMeta, m, sv_re, sv_im, T: int,
+                 prev_outs):
+    """One batched family elimination stage (condensed path).
+
+    All nG groups run their l restricted-pivot steps together: the group
+    axis rides the leading tensor dimension, so the whole family costs
+    ONE stage of vector ops instead of l*nG sequential pivot stages.
+    Numerics per group are exactly schedule.solve_numpy's restricted
+    partial pivoting (ops/reduce.py module doc).  Surviving rows are
+    compacted in ascending original order and either stored into the
+    reduced system (out_runs) or handed to a consumer family as values.
+    """
+    red = c.reduced
+    co = red.col_off
+    n = len(c.perm)
+    width = n + 2
+    wr = width - co
+    nG, g, l = fam.nG, fam.g, fam.l
+    blo, bhi = fam.blk
+    bw = bhi - blo
+    need_b_out = fam.out_runs is None  # a consumer reads the block part
+
+    Wre: List = [None] * g
+    Wim: List = [None] * g
+    Bre: List = [None] * g
+    Bim: List = [None] * g
+    for j in range(g):
+        if fam.src_row_lo >= 0:
+            r0 = fam.src_row_lo + j * nG
+            w = m[r0:r0 + nG, co:width]
+            b = m[r0:r0 + nG, blo:bhi]
+            Wre[j], Wim[j] = w[:, :, :T], w[:, :, T:]
+            Bre[j], Bim[j] = b[:, :, :T], b[:, :, T:]
+        else:
+            pW, pB, pblk = prev_outs[fam.src_fam]
+            pnG = pW[0][0].shape[0]
+            si, off = divmod(fam.src_slot_lo[j], pnG)
+            Wre[j] = pW[si][0][off:off + nG]
+            Wim[j] = pW[si][1][off:off + nG]
+            o = blo - pblk[0]
+            Bre[j] = pB[si][0][off:off + nG, o:o + bw]
+            Bim[j] = pB[si][1][off:off + nG, o:o + bw]
+
+    used = [jnp.zeros((nG, T), jnp.float32) for _ in range(g)]
+    ohs_first: List = []
+    for k in range(l):
+        # Step k's local columns are the diagonal block at positions
+        # base + k*nG + q (layout invariant), so the selector is an
+        # in-kernel iota compare, not a captured constant matrix.
+        gi = jax.lax.broadcasted_iota(jnp.int32, (nG, bw, 1), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (nG, bw, 1), 1)
+        sel = (ci == gi + (fam.base + k * nG - blo)).astype(jnp.float32)
+        colr = [jnp.sum(Bre[j] * sel, axis=1) for j in range(g)]
+        coli = [jnp.sum(Bim[j] * sel, axis=1) for j in range(g)]
+        metric = [jnp.abs(colr[j]) + jnp.abs(coli[j]) for j in range(g)]
+        if k:
+            metric = [jnp.where(used[j] > 0.5, -1.0, metric[j])
+                      for j in range(g)]
+        mx = metric[0]
+        for j in range(1, g):
+            mx = jnp.maximum(mx, metric[j])
+        notyet = jnp.ones((nG, T), jnp.float32)
+        ohs: List = []
+        for j in range(g):
+            hit = (metric[j] >= mx).astype(jnp.float32) * notyet
+            ohs.append(hit)
+            notyet = notyet * (1.0 - hit)
+        prw_re = ohs[0][:, None, :] * Wre[0]
+        prw_im = ohs[0][:, None, :] * Wim[0]
+        prb_re = ohs[0][:, None, :] * Bre[0]
+        prb_im = ohs[0][:, None, :] * Bim[0]
+        pr = ohs[0] * colr[0]
+        pi = ohs[0] * coli[0]
+        for j in range(1, g):
+            prw_re = prw_re + ohs[j][:, None, :] * Wre[j]
+            prw_im = prw_im + ohs[j][:, None, :] * Wim[j]
+            prb_re = prb_re + ohs[j][:, None, :] * Bre[j]
+            prb_im = prb_im + ohs[j][:, None, :] * Bim[j]
+            pr = pr + ohs[j] * colr[j]
+            pi = pi + ohs[j] * coli[j]
+        sl = fam.base + k * nG
+        sv_re[sl:sl + nG, co:width] = prw_re
+        sv_im[sl:sl + nG, co:width] = prw_im
+        sv_re[sl:sl + nG, blo:bhi] = prb_re
+        sv_im[sl:sl + nG, blo:bhi] = prb_im
+        den = pr * pr + pi * pi
+        den = jnp.where(den == 0.0, 1.0, den)
+        ir = pr / den
+        ii = -pi / den
+        upd_b = (k < l - 1) or need_b_out
+        for j in range(g):
+            fr, fi = _cmul(colr[j], coli[j], ir, ii)
+            nm = 1.0 - ohs[j]
+            fr = fr * nm
+            fi = fi * nm
+            frb = fr[:, None, :]
+            fib = fi[:, None, :]
+            Wre[j] = Wre[j] - (frb * prw_re - fib * prw_im)
+            Wim[j] = Wim[j] - (frb * prw_im + fib * prw_re)
+            if upd_b:
+                Bre[j] = Bre[j] - (frb * prb_re - fib * prb_im)
+                Bim[j] = Bim[j] - (frb * prb_im + fib * prb_re)
+            used[j] = used[j] + ohs[j]
+        if k == 0:
+            ohs_first = ohs
+
+    # Compaction: survivors in ascending original (slot) order.
+    outsW: List = []
+    outsB: List = []
+    if g - l == 1:
+        live = [1.0 - used[j] for j in range(g)]
+        ore = live[0][:, None, :] * Wre[0]
+        oim = live[0][:, None, :] * Wim[0]
+        for j in range(1, g):
+            ore = ore + live[j][:, None, :] * Wre[j]
+            oim = oim + live[j][:, None, :] * Wim[j]
+        outsW.append((ore, oim))
+        if need_b_out:
+            bre = live[0][:, None, :] * Bre[0]
+            bim = live[0][:, None, :] * Bim[0]
+            for j in range(1, g):
+                bre = bre + live[j][:, None, :] * Bre[j]
+                bim = bim + live[j][:, None, :] * Bim[j]
+            outsB.append((bre, bim))
+    else:  # (g, l) == (3, 1): two survivors, sorted order
+        oh0, oh1, oh2 = ohs_first
+        w01 = (oh1 + oh2)[:, None, :]
+        w02 = oh0[:, None, :]
+        w11 = oh2[:, None, :]
+        w12 = (oh0 + oh1)[:, None, :]
+        outsW.append((w01 * Wre[0] + w02 * Wre[1],
+                      w01 * Wim[0] + w02 * Wim[1]))
+        outsW.append((w11 * Wre[1] + w12 * Wre[2],
+                      w11 * Wim[1] + w12 * Wim[2]))
+        if need_b_out:
+            outsB.append((w01 * Bre[0] + w02 * Bre[1],
+                          w01 * Bim[0] + w02 * Bim[1]))
+            outsB.append((w11 * Bre[1] + w12 * Bre[2],
+                          w11 * Bim[1] + w12 * Bim[2]))
+
+    if fam.out_runs is not None:
+        for s, runs in enumerate(fam.out_runs):
+            ore, oim = outsW[s]
+            for dst_lo, dst_hi, src_lo in runs:
+                cnt = dst_hi - dst_lo
+                m[dst_lo:dst_hi, co:width] = jnp.concatenate(
+                    [ore[src_lo:src_lo + cnt], oim[src_lo:src_lo + cnt]],
+                    axis=2,
+                )
+        return None
+    return (outsW, outsB, fam.blk)
+
+
+def _reduce_forward(c: FusedConstants, m, sv_re, sv_im, used, T: int):
+    """Condensed forward elimination: family stages, then the reduced
+    system (m rows [0:n2] at columns [col_off:width])."""
+    red = c.reduced
+    co = red.col_off
+    n = len(c.perm)
+    width = n + 2
+    prev_outs: List = []
+    for fam in red.fams:
+        prev_outs.append(_fam_forward(c, fam, m, sv_re, sv_im, T,
+                                      prev_outs))
+
+    # Reduced-system elimination: same machinery as _eliminate, shifted
+    # into the tail column window with save slots at col_off + s.
+    used[0:red.n2] = jnp.zeros((red.n2, T), jnp.float32)
+    for group, runs, lo in red.red_plan:
+        nc = sum(hi - lo_r for lo_r, hi in runs)
+        all_fresh = group[0][3]
+        if len(runs) == 1:
+            r0, r1 = runs[0]
+            Mw = m[r0:r1, co + lo:width]
+            ure = (jnp.zeros((nc, T), jnp.float32) if all_fresh
+                   else used[r0:r1])
+        else:
+            Mw = jnp.concatenate(
+                [m[a:b, co + lo:width] for a, b in runs], axis=0
+            )
+            ure = (jnp.zeros((nc, T), jnp.float32) if all_fresh
+                   else jnp.concatenate([used[a:b] for a, b in runs],
+                                        axis=0))
+        Mre = Mw[:, :, :T]
+        Mim = Mw[:, :, T:]
+        for s, _, _, fresh, last in group:
+            jcol = s - lo
+            cr = Mre[:, jcol, :]
+            ci = Mim[:, jcol, :]
+            metric = jnp.abs(cr) + jnp.abs(ci)
+            if not fresh:
+                metric = jnp.where(ure > 0.5, -1.0, metric)
+            mx = jnp.max(metric, axis=0, keepdims=True)
+            hit = metric >= mx
+            rid = jax.lax.broadcasted_iota(jnp.int32, (nc, T), 0)
+            first = jnp.min(jnp.where(hit, rid, nc), axis=0, keepdims=True)
+            oh = (rid == first).astype(jnp.float32)
+            prow_re = jnp.sum(oh[:, None, :] * Mre, axis=0)
+            prow_im = jnp.sum(oh[:, None, :] * Mim, axis=0)
+            sv_re[co + s, co + lo:width] = prow_re
+            sv_im[co + s, co + lo:width] = prow_im
+            pr = prow_re[jcol:jcol + 1]
+            pi = prow_im[jcol:jcol + 1]
+            den = pr * pr + pi * pi
+            den = jnp.where(den == 0.0, 1.0, den)
+            fr, fi = _cmul(cr, ci, pr / den, -pi / den)
+            nm = 1.0 - oh
+            fr = fr * nm
+            fi = fi * nm
+            Mre = Mre - (fr[:, None, :] * prow_re[None]
+                         - fi[:, None, :] * prow_im[None])
+            Mim = Mim - (fr[:, None, :] * prow_im[None]
+                         + fi[:, None, :] * prow_re[None])
+            ure = ure + oh
+        last_any = group[-1][4]
+        new_w = jnp.concatenate([Mre, Mim], axis=2)
+        off = 0
+        for a, b in runs:
+            w_r = b - a
+            m[a:b, co + lo:width] = new_w[off:off + w_r]
+            if not last_any:
+                used[a:b] = ure[off:off + w_r]
+            off += w_r
+
+
+def _reduce_backsub(c: FusedConstants, sv_re, sv_im, xe_re, xe_im, T: int):
+    """Condensed back-substitution: reduced system in reverse, then
+    batched family recoveries (reverse family / reverse step order)."""
+    red = c.reduced
+    co = red.col_off
+    n = len(c.perm)
+    width = n + 2
+    xe_re[:] = jnp.zeros((width, T), jnp.float32)
+    xe_im[:] = jnp.zeros((width, T), jnp.float32)
+    xe_re[n:n + 1] = -jnp.ones((1, T), jnp.float32)
+    for s in range(red.n2 - 1, -1, -1):
+        lo = co + red.red_steps[s][2]
+        prow_re = sv_re[co + s, lo:width]
+        prow_im = sv_im[co + s, lo:width]
+        tail_re = xe_re[lo:width]
+        tail_im = xe_im[lo:width]
+        ar, ai = _cmul(prow_re, prow_im, tail_re, tail_im)
+        acc_re = jnp.sum(ar, axis=0, keepdims=True)
+        acc_im = jnp.sum(ai, axis=0, keepdims=True)
+        pr = prow_re[co + s - lo:co + s - lo + 1]
+        pi = prow_im[co + s - lo:co + s - lo + 1]
+        den = pr * pr + pi * pi
+        den = jnp.where(den == 0.0, 1.0, den)
+        xr, xi = _cmul(acc_re, acc_im, -pr / den, pi / den)
+        xe_re[co + s:co + s + 1] = xr
+        xe_im[co + s:co + s + 1] = xi
+    # Family recoveries: each is the standard saved-pivot-row step, nG
+    # groups at once.  Order matters: consumers' columns (filled first)
+    # appear in producers' saved rows; a family's own earlier-step columns
+    # hold elimination dust times a still-zero xe entry (exact zero).
+    for fam in reversed(list(red.fams)):
+        nG = fam.nG
+        blo, bhi = fam.blk
+        for k in range(fam.l - 1, -1, -1):
+            sl = fam.base + k * nG
+            swr = sv_re[sl:sl + nG, co:width]
+            swi = sv_im[sl:sl + nG, co:width]
+            txr = xe_re[co:width]
+            txi = xe_im[co:width]
+            acc_re = jnp.sum(swr * txr - swi * txi, axis=1)
+            acc_im = jnp.sum(swr * txi + swi * txr, axis=1)
+            sbr = sv_re[sl:sl + nG, blo:bhi]
+            sbi = sv_im[sl:sl + nG, blo:bhi]
+            if fam.blk_extra or fam.l > 1:
+                bxr = xe_re[blo:bhi]
+                bxi = xe_im[blo:bhi]
+                acc_re = acc_re + jnp.sum(sbr * bxr - sbi * bxi, axis=1)
+                acc_im = acc_im + jnp.sum(sbr * bxi + sbi * bxr, axis=1)
+            gi = jax.lax.broadcasted_iota(jnp.int32, (nG, bhi - blo, 1), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (nG, bhi - blo, 1), 1)
+            sel = (ci == gi + (fam.base + k * nG - blo)).astype(jnp.float32)
+            pr = jnp.sum(sbr * sel, axis=1)
+            pi = jnp.sum(sbi * sel, axis=1)
+            den = pr * pr + pi * pi
+            den = jnp.where(den == 0.0, 1.0, den)
+            xr, xi = _cmul(acc_re, acc_im, -pr / den, pi / den)
+            xe_re[sl:sl + nG] = xr
+            xe_im[sl:sl + nG] = xi
+    return xe_re[:n], xe_im[:n]
+
+
 def _resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
                  rr_re, rr_im, xe_re, xe_im, rhs, T: int):
     """Re-apply a saved factorization to a new rhs, then back-substitute.
@@ -544,7 +1130,7 @@ def _resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
     rhs column so the shared _backsub solves against the new rhs.  This is
     the frozen-Jacobian RK path: O(n^2)-ish instead of a full elimination.
     """
-    n = len(c.steps)
+    n = len(c.perm)
     rr_re[:] = rhs[:, :T]
     rr_im[:] = rhs[:, T:]
     for s, runs, lo in c.steps:
@@ -592,7 +1178,7 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
     whole budget) and the segmented tracker (ops/segmented.py) that scores
     candidates / compacts survivors between segments.
     """
-    n = len(c.steps)
+    n = len(c.perm)
 
     def kernel(niter, x0_re, x0_im, xli_re, xli_im, fli,
                apr, api, bpr, bpi, cpr, cpi,
@@ -1089,7 +1675,8 @@ def make_track_fn(
     of the problem's static start parameters -- used by the monodromy
     generator to track between arbitrary parameter points.
     """
-    c = FusedConstants.build(problem)
+    solver = "schedule" if cfg.rk_jacobian_reuse else cfg.solver
+    c = FusedConstants.build(problem, solver=solver)
     run = build_kernel_caller(
         c, problem, cfg, tile, cfg.max_steps + 1, interpret
     )

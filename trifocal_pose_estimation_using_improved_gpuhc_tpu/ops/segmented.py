@@ -90,7 +90,10 @@ def make_segmented_track_fn(
     (parallel/mesh.py), the name of the hypothesis mesh axis -- enables the
     cross-chip abort all-reduce and global best-pose selection.
     """
-    c = fused.FusedConstants.build(problem)
+    c = fused.FusedConstants.build(
+        problem,
+        solver="schedule" if cfg.rk_jacobian_reuse else cfg.solver,
+    )
     seg = max(1, cfg.segment_steps)
     n_segments = -(-(cfg.max_steps + 1) // seg)
     run = fused.build_kernel_caller(c, problem, cfg, tile, seg, interpret)

@@ -68,6 +68,13 @@ class HCConfig:
     # production path), "xla" = plain-JAX masked while_loop (ops/tracker.py,
     # the oracle / CPU-HC equivalent).
     backend: str = "fused"
+    # 30x30 solve inside the fused kernel: "reduced" = condensed group
+    # elimination (ops/reduce.py: batched family stages + compacted 14x16
+    # reduced system -- same pivots/arithmetic as the full schedule with
+    # dead rows removed); "schedule" = the 30-stage static schedule
+    # (required by rk_jacobian_reuse, and the fallback when a problem's
+    # pattern has no kernel-supported condensation).
+    solver: str = "reduced"
     tile: int = 256                      # fused-kernel paths per grid tile
 
 
