@@ -31,8 +31,10 @@ from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
     ransac_data_dir,
 )
 
-TILE = 256
-TILES = 8
+import os
+
+TILE = int(os.environ.get("TPUHC_TILE", "256"))
+TILES = max(1, 2048 // TILE)
 
 
 def build_phase_kernel(c, cfg, phase: str, T: int):

@@ -256,6 +256,54 @@ class TrifocalPoseEngine:
 
         return score
 
+    def _build_device_select(self, n_paths: int):
+        """Jitted on-device best-pose SELECTION for the serving loop.
+
+        Statistics sums, the support argmax and the winning solution row
+        all stay on device; one (39,) f32 vector crosses d2h per view
+        (156 bytes vs the ~0.9 MB per-path mask pack, plus it saves the
+        extra ~24 ms round trip that fetching the winner's solution row
+        used to cost).  n_paths statically slices away hypothesis padding
+        so pad duplicates never inflate the statistics (the reference
+        downloads every solution and selects on the host,
+        Evaluations.cpp:382-504).
+
+        Output layout: [num_conv, num_inf, num_real, num_cand, best21,
+        best31, steps_of_best, n_actual, steps_actual_sum] + x_real[best]
+        (30,).
+        """
+        N = n_paths
+
+        @jax.jit
+        def select(xr, conv, inf, real, cand, n21, n31, num_steps):
+            conv = conv[:N]
+            inf = inf[:N]
+            real = real[:N]
+            cand = cand[:N]
+            n21 = n21[:N]
+            n31 = n31[:N]
+            steps = num_steps[:N].astype(jnp.float32)
+            bi = jnp.argmax(jnp.minimum(n21, n31))
+            head = jnp.stack([
+                conv.sum().astype(jnp.float32),
+                inf.sum().astype(jnp.float32),
+                real.sum().astype(jnp.float32),
+                cand.sum().astype(jnp.float32),
+                n21[bi].astype(jnp.float32),
+                n31[bi].astype(jnp.float32),
+                steps[bi],
+                # Steps of "actual solutions" (max-support ties, union of
+                # both pairs, Evaluations.cpp:457-515): count + mean keep
+                # the serving payload O(1).
+                jnp.where((n21 == n21.max()) | (n31 == n31.max()),
+                          1.0, 0.0).sum(),
+                jnp.where((n21 == n21.max()) | (n31 == n31.max()),
+                          steps, 0.0).sum(),
+            ])
+            return jnp.concatenate([head, xr[bi].astype(jnp.float32)])
+
+        return select
+
     @staticmethod
     def _pose_np(x_real: np.ndarray):
         """Host pose extraction for ONE solution row (30,) real parts."""
@@ -729,9 +777,13 @@ class TrifocalPoseEngine:
         The production serving loop: while the device tracks view i, the
         host loads + samples + stages view i+1 and dispatches it behind the
         current work, then scores view i -- host prep and d2h of one view
-        overlap device tracking of the next. Returns (results, views/s).
-        (The reference processes views strictly serially,
-        cmd/magmaHC-main.cpp:24-75.)
+        overlap device tracking of the next.  Scoring AND best-pose
+        selection run on device (_build_device_select): one (39,) f32
+        vector (156 bytes) crosses the link per view.  Per-path step
+        counts therefore stay on device; RoundResult.num_steps is empty
+        in stream mode (the step writers are a CLI-round feature).
+        Returns (results, views/s).  (The reference processes views
+        strictly serially, cmd/magmaHC-main.cpp:24-75.)
         """
         cfg = self.cfg
         H = num_hypotheses or cfg.ransac.num_iterations
@@ -742,6 +794,7 @@ class TrifocalPoseEngine:
 
         Hp = -(-H // self._ndev) * self._ndev
         x0r, x0i = self._staged_x0(Hp)
+        select = self._build_device_select(H * T)
 
         def dispatch(view, s):
             n_e = view.edge_locations.shape[0]
@@ -775,7 +828,9 @@ class TrifocalPoseEngine:
             sc = self._device_score(
                 out[0], out[1], out[2], out[3], edg0, k_dev
             )
-            return (out, sc), time.perf_counter()
+            sel = select(out[0], out[2], out[3], sc[0], sc[1], sc[2],
+                         sc[3], out[5])
+            return sel, time.perf_counter()
 
         t0 = time.perf_counter()
         results = []
@@ -787,32 +842,40 @@ class TrifocalPoseEngine:
                 nxt = dispatch(views[i + 1], seed)
             else:
                 nxt = None
-            out, sc = pending
-            nHT = H * T
-            packed = np.asarray(jnp.stack([
-                a.astype(jnp.int32)
-                for a in (out[2], out[3], sc[0], sc[1], sc[2], sc[3],
-                          out[5])
-            ]))[:, :nHT]
-            counts = tuple(int(packed[i].sum()) for i in range(4))
-            n21, n31, num_steps = packed[4], packed[5], packed[6]
+            sel = np.asarray(pending)  # the view's ONLY d2h: 156 bytes
             t_done = time.perf_counter()
+            n_edgels = view.edge_locations.shape[0]
+            stats = evl.SolutionStats(
+                num_converged=int(sel[0]), num_infinity=int(sel[1]),
+                num_real=int(sel[2]), num_paths=H * T,
+            )
+            n_cand = int(sel[3])
+            b21, b31 = int(sel[4]), int(sel[5])
+            found = False
+            pose = perr = None
+            actual_steps = np.zeros(0, np.int32)
+            if n_cand:
+                ratio = cfg.ransac.pass_inlier_support_ratio
+                found = (b21 >= ratio * n_edgels
+                         and b31 >= ratio * n_edgels)
+                pose = self._pose_np(sel[9:39])
+                perr = evl.measure_pose_error(
+                    *pose, view.gt_pose21, view.gt_pose31
+                )
+                actual_steps = np.array([int(sel[6])], np.int32)
+            else:
+                b21 = b31 = 0
             # Pipeline latency of this view: dispatch -> results on host
             # (overlaps the next view's tracking by design).
             view_ms = (t_done - t_disp) * 1e3
-            (stats, b21, b31, found, pose, perr,
-             actual_steps) = self._post_from_support(
-                view, n21, n31, num_steps,
-                lambda bi: np.asarray(out[0][bi]), counts,
-            )
             results.append(RoundResult(
                 stats=stats, track_ms=view_ms,
                 total_ms=(time.perf_counter() - t_disp) * 1e3,
-                num_candidates=counts[3], best_support21=b21,
+                num_candidates=n_cand, best_support21=b21,
                 best_support31=b31,
-                num_edgels=view.edge_locations.shape[0],
+                num_edgels=n_edgels,
                 found_pose=found, pose_errors=perr, best_pose=pose,
-                num_steps=num_steps,
+                num_steps=np.zeros(0, np.int32),
                 actual_sol_steps=actual_steps,
             ))
             if nxt is not None:
