@@ -75,7 +75,12 @@ class HCConfig:
     # (required by rk_jacobian_reuse, and the fallback when a problem's
     # pattern has no kernel-supported condensation).
     solver: str = "reduced"
-    tile: int = 256                      # fused-kernel paths per grid tile
+    # Fused-kernel paths per grid tile.  Per-path kernel cost is flat from
+    # 256 down to 128 (microbench), but END-TO-END rounds are ~10% faster
+    # at 128 (556 -> 498 ms at H=100 on v5e): whole-tile early exit
+    # retires straggler tiles at finer granularity.  512 is ~20% worse
+    # per path; 64 compiles/warms too slowly to be useful.
+    tile: int = 128
 
 
 @dataclasses.dataclass(frozen=True)
