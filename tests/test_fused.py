@@ -103,7 +103,7 @@ def test_eval_solve_against_factored_oracle(problem):
         t_w = jnp.full((1, 2 * T), tval, jnp.float32)
         fused._fill_P(c, P, agq, t_w, rk=True)
         hx, mht = fused._eval_core(
-            c, consts, P[:], px, xp_w, T, want_h=False
+            c, consts, P[:], xp_w, T, want_h=False
         )
         fused._assemble(c, m_sc, hx, mht, T)
         dr, di = fused._solve(c, m_sc, sv_re, sv_im, used, xe_re, xe_im, T)

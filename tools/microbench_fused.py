@@ -125,10 +125,18 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                 else:
                     dr, di = fused._backsub(c, sv_re, sv_im, xe_re, xe_im, T)
                 out[:] += dr + di
+            elif phase == "evrhs":
+                # Evaluation without the Hx half (the RKJ rhs-only path):
+                # isolates the hx-branch cost within "eval".
+                fused._fill_P(c, prk, agq, t_w, rk=True)
+                _, rhs = fused._eval_core(
+                    c, consts, prk[:], xp_w, T, want_h=False,
+                    need_hx=False)
+                out[:] += rhs[:, :T]
             else:
                 fused._fill_P(c, prk, agq, t_w, rk=True)
                 hx, rhs = fused._eval_core(
-                    c, consts, prk[:], px, xp_w, T, want_h=False)
+                    c, consts, prk[:], xp_w, T, want_h=False)
                 if phase == "eval":
                     out[:] += rhs[:, :T] + hx[:n, :T]
                 else:

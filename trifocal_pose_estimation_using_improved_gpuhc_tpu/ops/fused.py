@@ -112,6 +112,14 @@ def _sdot(cb, x):
     return _bdot(cb, h) + _bdot(cb, l1) + _bdot(cb, l2)
 
 
+def _sdot2(cb, x):
+    """2-term bf16 split (~16 significant bits): RK-predictor-only mode
+    ("split3_rk2"); the Newton corrector must keep the exact 3-term form."""
+    h = x.astype(jnp.bfloat16)
+    l1 = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _bdot(cb, h) + _bdot(cb, l1)
+
+
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
@@ -658,7 +666,7 @@ def _fill_P(c: FusedConstants, P, agq, t_w, rk: bool):
         P[k2p:] = _quad(agq[0, k2p:], agq[1, k2p:], agq[2, k2p:], t_w)
 
 
-def _eval_core(c: FusedConstants, consts, P, px, xp_w, T: int,
+def _eval_core(c: FusedConstants, consts, P, xp_w, T: int,
                want_h: bool, need_hx: bool = True, dot=_dot):
     """Evaluate Hx nonzeros and the rhs (H if want_h else -Ht) at (x, P(t)).
 
@@ -666,10 +674,12 @@ def _eval_core(c: FusedConstants, consts, P, px, xp_w, T: int,
     monomial-factored form (models/trifocal.py).  Every array carries the
     complex planes side by side in the lane axis ([re | im], width 2T), so
     each complex x real-constant matmul is ONE MXU op; all row slices are
-    8-aligned by construction (FusedConstants section layout).
+    8-aligned by construction (FusedConstants section layout).  The combo
+    products stay in registers end to end (an earlier VMEM px scratch
+    cost a 1.3 MB store + reload per evaluation).
 
     xp_w: (31, 2T) homogeneous solution; P: (kp, 2T) cached parameter
-    products for this t value (see _fill_P); px: (kp, 2T) scratch ref.
+    products for this t value (see _fill_P).
     Returns (hx (NNZ, 2T) or None, rhs (n, 2T)) wide arrays.
     """
     (ohx23, ohx2g, ohx3g, chx, cht, chtneg) = consts
@@ -679,14 +689,13 @@ def _eval_core(c: FusedConstants, consts, P, px, xp_w, T: int,
 
     fac = dot(ohx23, xp_w)                      # (3*sec_a, 2T)
     u = _cmul_w(fac[:a], fac[a:2 * a], T)       # x2 in [:qpad], ab in [qpad:]
-    if need_hx:
-        px[:k2p] = dot(ohx2g, u[:qp])           # (k2p, 2T) Hx combos
     x3 = _cmul_w(u[qp:], fac[2 * a + qp:], T)   # (cpad, 2T) cubic monomials
-    px[k2p:] = dot(ohx3g, x3)                   # (k3p, 2T) H/Ht combos
-    pxv = _cmul_w(P, px[:], T)                  # ONE wide complex product
-
-    hx = dot(chx, pxv[:k2p]) if need_hx else None
-    rhs = dot(cht if want_h else chtneg, pxv[k2p:])
+    px3 = dot(ohx3g, x3)                        # (k3p, 2T) H/Ht combos
+    rhs = dot(cht if want_h else chtneg, _cmul_w(P[k2p:], px3, T))
+    if not need_hx:
+        return None, rhs
+    px2 = dot(ohx2g, u[:qp])                    # (k2p, 2T) Hx combos
+    hx = dot(chx, _cmul_w(P[:k2p], px2, T))
     return hx, rhs
 
 
@@ -1185,7 +1194,7 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                ohx23, ohx2g, ohx3g, ohq23, chx, cht, chtneg,
                xo_re, xo_im, xl_re, xl_im, flags,
                m_sc, sv_re, sv_im, used, xe_re, xe_im,
-               agq, px, prk, pco, cw_re, cw_im, cfl,
+               agq, prk, pco, cw_re, cw_im, cfl,
                *rkj_and_cont):
         if cfg.rk_jacobian_reuse:
             foh, ffr, ffi, rr_re, rr_im, cont = rkj_and_cont
@@ -1196,16 +1205,22 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
         # Matmul modes: interpret mode keeps plain f32 for exact oracle
         # parity; on TPU "split3" runs every constant matmul as 3 one-pass
         # bf16 products of the exact f32 split (see _split3).
-        split = (not interpret) and cfg.eval_precision == "split3"
+        split = (not interpret) and cfg.eval_precision.startswith("split3")
         if split:
             consts = tuple(a.astype(jnp.bfloat16) for a in consts_f)
             dot_c = _sdot
         else:
             consts, dot_c = consts_f, _dot
-        # A 1-pass bf16 predictor was measured: zero wall-clock gain and
-        # convergence dropped 2460 -> 1335 per 31200 paths, so RK stages
-        # keep the same exact-split matmuls as the corrector.
-        consts_rk, dot_rk = consts, dot_c
+        # RK-stage matmul precision: a 1-pass bf16 predictor was measured
+        # useless (zero wall-clock gain, convergence 2460 -> 1335 per
+        # 31200 paths), so by default RK stages keep the corrector's
+        # exact 3-term splits.  "split3_rk2" runs the PREDICTOR at 2-term
+        # splits (~16 significant bits; the corrector stays exact) --
+        # a measured experiment, gate on conv stats before adopting.
+        if split and cfg.eval_precision == "split3_rk2":
+            consts_rk, dot_rk = consts, _sdot2
+        else:
+            consts_rk, dot_rk = consts, dot_c
 
         # Hoisted pair-product quadratic coefficients, gathered to combos
         # once per tile in wide [re | im] lane layout (the L2-persistent
@@ -1253,7 +1268,7 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
 
             def es(x, P, want_h, rk=False, save=None):
                 hx, rhs = _eval_core(
-                    c, consts_rk if rk else consts, P[:], px, _wide(x), T,
+                    c, consts_rk if rk else consts, P[:], _wide(x), T,
                     want_h, dot=dot_rk if rk else dot_c
                 )
                 _assemble(c, m_sc, hx, rhs, T)
@@ -1265,7 +1280,7 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 # Frozen-Jacobian stage: -Ht only, replay the saved
                 # factorization on the new rhs (strategy RKJ; see HCConfig).
                 _, rhs = _eval_core(
-                    c, consts_rk, prk[:], px, _wide(x), T, False,
+                    c, consts_rk, prk[:], _wide(x), T, False,
                     need_hx=False, dot=dot_rk
                 )
                 return _resolve_rhs(
@@ -1506,7 +1521,6 @@ def build_kernel_caller(
             pltpu.VMEM((width, tile), jnp.float32),     # xe_re (backsub)
             pltpu.VMEM((width, tile), jnp.float32),     # xe_im
             pltpu.VMEM((3, kp, 2 * tile), jnp.float32),  # agq (wide)
-            pltpu.VMEM((kp, 2 * tile), jnp.float32),    # px (combo scratch)
             pltpu.VMEM((kp, 2 * tile), jnp.float32),    # prk (RK P cache)
             pltpu.VMEM((kp, 2 * tile), jnp.float32),    # pco (corrector P)
             pltpu.VMEM((n, tile), jnp.float32),         # cw_re (corrector)

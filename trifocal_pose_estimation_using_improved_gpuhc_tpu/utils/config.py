@@ -61,7 +61,10 @@ class HCConfig:
     # Evaluator matmul mode on TPU: "split3" computes every constant matmul
     # as three 1-pass bf16 products of an exact f32 = hi+lo1+lo2 split
     # (exact to f32 final rounding, ~2x faster than Precision.HIGHEST,
-    # which Mosaic lowers to ~6 bf16 passes); "highest" is the plain
+    # which Mosaic lowers to ~6 bf16 passes); "split3_rk2" additionally
+    # drops the RK PREDICTOR stages to 2-term splits (~16 significant
+    # bits; the Newton corrector keeps the exact 3-term form) -- gate any
+    # adoption on convergence statistics; "highest" is the plain
     # HIGHEST-precision path.  Interpret mode always uses plain f32.
     eval_precision: str = "split3"
     # Tracker backend: "fused" = Pallas fused kernel (ops/fused.py, the
