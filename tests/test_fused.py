@@ -167,3 +167,41 @@ def test_segmented_matches_oracle(cfg, problem, hc, workload, oracle_result):
     assert (rs.track.converged == ro.converged).all()
     assert (rs.track.pruned == ro.pruned).all()
     assert rs.found_path == -1  # abort disabled in the default config
+
+
+def test_merged_eval_core_bit_identical(problem):
+    """_eval_core_merged == _eval_core bit-for-bit (plain f32 dots).
+
+    The merged form only appends exact-zero terms to each output row's
+    dot product and rearranges one-hot gather rows, so with the
+    homogeneous row of xp set to 1+0i the results must be exactly equal
+    (ops/fused.FusedConstants.build merged-constant construction).
+    """
+    import jax.numpy as jnp
+
+    c = fused.FusedConstants.build(problem)
+    T = 8
+    rng = np.random.default_rng(7)
+    xp = rng.standard_normal((31, 2 * T)).astype(np.float32)
+    xp[30, :T] = 1.0
+    xp[30, T:] = 0.0
+    P = rng.standard_normal((c.kp, 2 * T)).astype(np.float32)
+    consts = tuple(
+        jnp.asarray(a)
+        for a in (c.ohx23, c.ohx2g, c.ohx3g, c.chx, c.cht, c.chtneg)
+    )
+    consts_m = tuple(
+        jnp.asarray(a) for a in (c.ohx23, c.ohg, c.fold_h, c.fold_t)
+    )
+    for want_h in (True, False):
+        hx, rhs = fused._eval_core(
+            c, consts, jnp.asarray(P), jnp.asarray(xp), T, want_h
+        )
+        hxm, rhsm = fused._eval_core_merged(
+            c, consts_m, jnp.asarray(P), jnp.asarray(xp), T, want_h
+        )
+        assert bool((hx == hxm[: c.nnz]).all())
+        assert bool((rhs == rhsm).all())
+        # Fold output rows between nnz..nzp and beyond n are structural
+        # zeros (padding rows of the block-diagonal fold).
+        assert bool((hxm[c.nnz: c.nzp] == 0.0).all())

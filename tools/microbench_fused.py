@@ -44,10 +44,19 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
     def kernel(niter, x0_re, x0_im,
                apr, api, bpr, bpi, cpr, cpi,
                ohx23, ohx2g, ohx3g, ohq23, chx, cht, chtneg,
+               ohg, fold_h, fold_t,
                out,
                m_sc, sv_re, sv_im, used, xe_re, xe_im,
                agq, px, prk):
         consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:], chtneg[:])
+        consts_m = (ohx23[:], ohg[:], fold_h[:], fold_t[:])
+        consts_s = tuple(a.astype(jnp.bfloat16) for a in consts)
+        consts_ms = tuple(a.astype(jnp.bfloat16) for a in consts_m)
+        consts_k = (
+            jnp.concatenate([consts_ms[0]] * 3, axis=1),
+            jnp.concatenate([consts_ms[1]] * 3, axis=1),
+            consts_ms[2], consts_ms[3],
+        )
         for i, (a, b) in enumerate(((apr, api), (bpr, bpi), (cpr, cpi))):
             wide = jnp.concatenate([a[:], b[:]], axis=1)
             agq[i] = fused._dot(ohq23[:], wide)
@@ -125,6 +134,54 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                 else:
                     dr, di = fused._backsub(c, sv_re, sv_im, xe_re, xe_im, T)
                 out[:] += dr + di
+            elif phase == "evals":
+                # Production path: old 5-dot structure at split3.
+                fused._fill_P(c, prk, agq, t_w, rk=True)
+                hx, rhs = fused._eval_core(
+                    c, consts_s, prk[:], xp_w, T, want_h=False,
+                    dot=fused._sdot)
+                out[:] += rhs[:, :T] + hx[:n, :T]
+            elif phase == "evalm":
+                # Merged 3-dot structure at split3.
+                fused._fill_P(c, prk, agq, t_w, rk=True)
+                hx, rhs = fused._eval_core_merged(
+                    c, consts_ms, prk[:], xp_w, T, want_h=False,
+                    dot=fused._sdot)
+                out[:] += rhs[:, :T] + hx[:n, :T]
+            elif phase == "evalk":
+                # Merged + K-concat split gathers (production candidate).
+                fused._fill_P(c, prk, agq, t_w, rk=True)
+                hx, rhs = fused._eval_core_merged(
+                    c, consts_k, prk[:], xp_w, T, want_h=False,
+                    dot_g=fused._kdot, dot_f=fused._sdot)
+                out[:] += rhs[:, :T] + hx[:n, :T]
+            elif phase == "evalf":
+                # Fold-only merge: separate gathers, one block-diag fold.
+                fused._fill_P(c, prk, agq, t_w, rk=True)
+                sdot = fused._sdot
+                a = c.sec_a
+                fac = sdot(consts_s[0], xp_w)
+                u = fused._cmul_w(fac[:a], fac[a:2 * a], T)
+                x3 = fused._cmul_w(u[c.qpad:], fac[2 * a + c.qpad:], T)
+                px2 = sdot(consts_s[1], u[:c.qpad])
+                px3 = sdot(consts_s[2], x3)
+                pxv = fused._cmul_w(
+                    prk[:], jnp.concatenate([px2, px3], axis=0), T)
+                o = sdot(consts_ms[3], pxv)
+                out[:] += o[c.nzp:c.nzp + n, :T] + o[:n, :T]
+            elif phase == "evalg":
+                # Gather-only merge: one gather, separate folds.
+                fused._fill_P(c, prk, agq, t_w, rk=True)
+                sdot = fused._sdot
+                a = c.sec_a
+                fac = sdot(consts_ms[0], xp_w)
+                u = fused._cmul_w(fac[:a], fac[a:2 * a], T)
+                z = fused._cmul_w(u, fac[2 * a:], T)
+                pxc = sdot(consts_ms[1], z)
+                pxv = fused._cmul_w(prk[:], pxc, T)
+                hx = sdot(consts_s[3], pxv[:c.k2p])
+                rhs = sdot(consts_s[5], pxv[c.k2p:])
+                out[:] += rhs[:, :T] + hx[:n, :T]
             elif phase == "evrhs":
                 # Evaluation without the Hx half (the RKJ rhs-only path):
                 # isolates the hx-branch cost within "eval".
@@ -182,7 +239,8 @@ def run_phase(problem, cfg, phase: str, iters: int):
     xb = x0.T[perm]
 
     grid_consts = [jnp.asarray(a) for a in (
-        c.ohx23, c.ohx2g, c.ohx3g, c.ohq23, c.chx, c.cht, c.chtneg)]
+        c.ohx23, c.ohx2g, c.ohx3g, c.ohq23, c.chx, c.cht, c.chtneg,
+        c.ohg, c.fold_h, c.fold_t)]
 
     def _const_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0),

@@ -112,6 +112,30 @@ def _sdot(cb, x):
     return _bdot(cb, h) + _bdot(cb, l1) + _bdot(cb, l2)
 
 
+def _kdot(cb3, x):
+    """split3 matmul with the three terms CONCATENATED along K.
+
+    cb3 = [cb | cb | cb] (K tripled).  The matmul's f32 K-accumulation
+    performs the h + l1 + l2 reduction for free, saving both full-size
+    output adds and two matmul issues.  The association of the three
+    exact split terms may differ from _sdot's two vector adds, so
+    results agree only to final-rounding (~1 ulp) -- the same precision
+    class as split3 itself; convergence stats are re-validated on TPU
+    whenever the eval path changes (tools/reconcile_stats.py).
+    """
+    h, l1, l2 = _split3(x)
+    return _bdot(cb3, jnp.concatenate([h, l1, l2], axis=0))
+
+
+def _kdot2(cb3, x):
+    """2-term K-concat split (split3_rk2 predictor): reuse the first two
+    K segments of the tripled constant."""
+    k = cb3.shape[1] // 3
+    h = x.astype(jnp.bfloat16)
+    l1 = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _bdot(cb3[:, : 2 * k], jnp.concatenate([h, l1], axis=0))
+
+
 def _sdot2(cb, x):
     """2-term bf16 split (~16 significant bits): RK-predictor-only mode
     ("split3_rk2"); the Newton corrector must keep the exact 3-term form."""
@@ -462,6 +486,10 @@ class FusedConstants:
     chx: np.ndarray           # (NNZ, k2p) combo -> Hx nonzero weights
     cht: np.ndarray           # (n, k3p)  combo -> H/Ht equation weights
     chtneg: np.ndarray        # -cht (folds the -Ht sign for free)
+    ohg: np.ndarray           # (kp, sec_a) merged [x2|x3] -> combo gather
+    fold_h: np.ndarray        # (nzp+np8, kp) block-diag [chx; cht]
+    fold_t: np.ndarray        # (nzp+np8, kp) block-diag [chx; chtneg]
+    nzp: int                  # 8-aligned Hx-nonzero rows in fold outputs
     row_order: np.ndarray     # (30,) row position -> original equation
     row_runs_v: Tuple[Tuple, ...]  # per-row-position value runs (src_lo, src_hi, dst_col)
     steps: Tuple[Tuple, ...]  # (pos, row runs ((lo,hi),...), col_lo)
@@ -520,16 +548,21 @@ class FusedConstants:
         sec_a = qpad + cpad
         k2p, k3p = _ceil8(k2), _ceil8(k3)
 
-        def block(qm, cm):
+        def block(qm, cm, ones_q=False):
             b = np.zeros((sec_a, n + 1), np.float32)
             if qm is not None:
                 b[:m2] = _onehot(pv(qm), n + 1)
+            elif ones_q:
+                # Block C's quad section picks the homogeneous-1 column so
+                # fac_C[:qpad] == 1+0i and ONE complex product u * fac_C
+                # yields [x2 | x3] contiguously (merged-eval layout).
+                b[:qpad, n] = 1.0
             b[qpad:qpad + m3] = _onehot(pv(cm), n + 1)
             return b
 
         ohx23 = np.concatenate(
             [block(f.qm_a, f.cm_a), block(f.qm_b, f.cm_b),
-             block(None, f.cm_c)]
+             block(None, f.cm_c, ones_q=True)]
         ).astype(np.float32)
 
         ohx2g = np.zeros((k2p, qpad), np.float32)
@@ -565,6 +598,22 @@ class FusedConstants:
         chx[:, :k2] = f.hx_C.T[order]          # (NNZ, K2) reordered
         cht = np.zeros((n, k3p), np.float32)
         cht[:, :k3] = f.ht_C.T[row_order]      # rows permuted
+
+        # Merged-eval constants: one gather over the contiguous [x2 | x3]
+        # front (rows [0:m2] pick x2, [k2p:k2p+k3] pick x3 at qpad offset)
+        # and one block-diagonal fold emitting [hx | rhs] in a single
+        # matmul.  Cuts the evaluator's constant-matmul count from 5 to 3
+        # (x3 bf16 split passes) at the cost of some zero MXU tiles.
+        ohg = np.zeros((k2p + k3p, sec_a), np.float32)
+        ohg[:k2, :m2] = _onehot(f.hx_m, m2)
+        ohg[k2p:k2p + k3, qpad:qpad + m3] = _onehot(f.ht_m, m3)
+        nzp = _ceil8(nnz_total)
+        np8 = _ceil8(n)
+        fold_h = np.zeros((nzp + np8, k2p + k3p), np.float32)
+        fold_h[:nnz_total, :k2p] = chx
+        fold_h[nzp:nzp + n, k2p:] = cht
+        fold_t = fold_h.copy()
+        fold_t[nzp:nzp + n, k2p:] = -cht
 
         # Row assembly program: per row position, the maximal contiguous
         # value runs (src_lo, src_hi, dst_col); zeros and the rhs column are
@@ -619,6 +668,10 @@ class FusedConstants:
             chx=chx,
             cht=cht,
             chtneg=(-cht).astype(np.float32),
+            ohg=ohg,
+            fold_h=fold_h,
+            fold_t=fold_t,
+            nzp=nzp,
             row_order=row_order,
             row_runs_v=tuple(row_runs_v),
             steps=steps,
@@ -697,6 +750,42 @@ def _eval_core(c: FusedConstants, consts, P, xp_w, T: int,
     px2 = dot(ohx2g, u[:qp])                    # (k2p, 2T) Hx combos
     hx = dot(chx, _cmul_w(P[:k2p], px2, T))
     return hx, rhs
+
+
+def _eval_core_merged(c: FusedConstants, consts, P, xp_w, T: int,
+                      want_h: bool, need_hx: bool = True, dot=_dot,
+                      dot_g=None, dot_f=None):
+    """Merged-form evaluator: 3 constant matmuls instead of 5.
+
+    Same semantics as _eval_core (bit-identical per row: the merged
+    matmuls only append exact-zero terms / rearrange one-hot rows).
+    Block C's quad section resolves to 1+0i (FusedConstants.build), so
+    ONE complex product z = u * fac_C yields [x2 | x3]; the combined
+    gather ``ohg`` emits all combos at once; ONE wide P product and the
+    block-diagonal fold emit hx and rhs together.  The bet: fewer op
+    issues beat the extra zero MXU tiles on v5e (the eval phase is
+    issue-bound, ~2x above its flop floor).  A/B via
+    tools/microbench_fused phases evals (classic) / evalm (merged) /
+    evalk (merged + K-concat gathers) and HCConfig.eval_structure.
+
+    Returns (out (nzp+np8, 2T) holding hx rows [0:nnz], rhs (n, 2T)).
+    """
+    (ohx23, ohg, fold_h, fold_t) = consts
+    a = c.sec_a
+    n = c.cht.shape[0]
+    dg = dot if dot_g is None else dot_g
+    df = dot if dot_f is None else dot_f
+
+    fac = dg(ohx23, xp_w)                       # (3*sec_a, 2T)
+    u = _cmul_w(fac[:a], fac[a:2 * a], T)       # [x2 | ab]
+    z = _cmul_w(u, fac[2 * a:], T)              # [x2 | x3]
+    px = dg(ohg, z)                             # (kp, 2T) all combos
+    pxv = _cmul_w(P, px, T)
+    out = df(fold_h if want_h else fold_t, pxv)
+    rhs = out[c.nzp:c.nzp + n]
+    if not need_hx:
+        return None, rhs
+    return out, rhs
 
 
 def _assemble(c: FusedConstants, m, hx, rhs, T: int):
@@ -1189,38 +1278,64 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
     """
     n = len(c.perm)
 
+    merged = cfg.eval_structure == "merged"
+    nconst = 5 if merged else 7
+    eval_fn = _eval_core_merged if merged else _eval_core
+
     def kernel(niter, x0_re, x0_im, xli_re, xli_im, fli,
-               apr, api, bpr, bpi, cpr, cpi,
-               ohx23, ohx2g, ohx3g, ohq23, chx, cht, chtneg,
-               xo_re, xo_im, xl_re, xl_im, flags,
-               m_sc, sv_re, sv_im, used, xe_re, xe_im,
-               agq, prk, pco, cw_re, cw_im, cfl,
-               *rkj_and_cont):
+               apr, api, bpr, bpi, cpr, cpi, *rest):
+        cr = rest[:nconst]
+        (xo_re, xo_im, xl_re, xl_im, flags,
+         m_sc, sv_re, sv_im, used, xe_re, xe_im,
+         agq, prk, pco, cw_re, cw_im, cfl,
+         *rkj_and_cont) = rest[nconst:]
         if cfg.rk_jacobian_reuse:
             foh, ffr, ffi, rr_re, rr_im, cont = rkj_and_cont
         else:
             (cont,) = rkj_and_cont
             foh = ffr = ffi = rr_re = rr_im = None
-        consts_f = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:], chtneg[:])
+        if merged:
+            ohx23, ohq23, ohg, fold_h, fold_t = cr
+            consts_f = (ohx23[:], ohg[:], fold_h[:], fold_t[:])
+        else:
+            ohx23, ohx2g, ohx3g, ohq23, chx, cht, chtneg = cr
+            consts_f = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:],
+                        chtneg[:])
         # Matmul modes: interpret mode keeps plain f32 for exact oracle
-        # parity; on TPU "split3" runs every constant matmul as 3 one-pass
-        # bf16 products of the exact f32 split (see _split3).
+        # parity; on TPU "split3" runs every constant matmul as 1-pass
+        # bf16 products of the exact f32 split (see _split3).  On the
+        # merged structure the two GATHER matmuls use the K-concatenated
+        # split (_kdot: one matmul, adds folded into MXU accumulation);
+        # the fold keeps the 3-dot form (tripling its 624-row input
+        # would cost more than the adds it saves).
         split = (not interpret) and cfg.eval_precision.startswith("split3")
+        rk2 = split and cfg.eval_precision == "split3_rk2"
         if split:
-            consts = tuple(a.astype(jnp.bfloat16) for a in consts_f)
-            dot_c = _sdot
+            consts_b = tuple(a.astype(jnp.bfloat16) for a in consts_f)
+            if merged:
+                consts = (
+                    jnp.concatenate([consts_b[0]] * 3, axis=1),
+                    jnp.concatenate([consts_b[1]] * 3, axis=1),
+                    consts_b[2], consts_b[3],
+                )
+                dots = dict(dot_g=_kdot, dot_f=_sdot)
+                dots_rk = (dict(dot_g=_kdot2, dot_f=_sdot2)
+                           if rk2 else dots)
+            else:
+                consts = consts_b
+                dots = dict(dot=_sdot)
+                # RK-stage matmul precision: a 1-pass bf16 predictor was
+                # measured useless (zero wall-clock gain, convergence
+                # 2460 -> 1335 per 31200 paths); by default RK stages
+                # keep the corrector's exact 3-term splits.
+                # "split3_rk2" runs the PREDICTOR at 2-term splits (~16
+                # significant bits; the corrector stays exact) -- gate
+                # any adoption on convergence statistics.
+                dots_rk = dict(dot=_sdot2) if rk2 else dots
         else:
-            consts, dot_c = consts_f, _dot
-        # RK-stage matmul precision: a 1-pass bf16 predictor was measured
-        # useless (zero wall-clock gain, convergence 2460 -> 1335 per
-        # 31200 paths), so by default RK stages keep the corrector's
-        # exact 3-term splits.  "split3_rk2" runs the PREDICTOR at 2-term
-        # splits (~16 significant bits; the corrector stays exact) --
-        # a measured experiment, gate on conv stats before adopting.
-        if split and cfg.eval_precision == "split3_rk2":
-            consts_rk, dot_rk = consts, _sdot2
-        else:
-            consts_rk, dot_rk = consts, dot_c
+            consts = consts_f
+            dots = dots_rk = (dict(dot=_dot) if not merged
+                              else dict(dot_g=_dot, dot_f=_dot))
 
         # Hoisted pair-product quadratic coefficients, gathered to combos
         # once per tile in wide [re | im] lane layout (the L2-persistent
@@ -1267,9 +1382,9 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 )
 
             def es(x, P, want_h, rk=False, save=None):
-                hx, rhs = _eval_core(
-                    c, consts_rk if rk else consts, P[:], _wide(x), T,
-                    want_h, dot=dot_rk if rk else dot_c
+                hx, rhs = eval_fn(
+                    c, consts, P[:], _wide(x), T, want_h,
+                    **(dots_rk if rk else dots)
                 )
                 _assemble(c, m_sc, hx, rhs, T)
                 return _solve(
@@ -1279,9 +1394,9 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
             def es_rhs(x):
                 # Frozen-Jacobian stage: -Ht only, replay the saved
                 # factorization on the new rhs (strategy RKJ; see HCConfig).
-                _, rhs = _eval_core(
-                    c, consts_rk, prk[:], _wide(x), T, False,
-                    need_hx=False, dot=dot_rk
+                _, rhs = eval_fn(
+                    c, consts, prk[:], _wide(x), T, False,
+                    need_hx=False, **dots_rk
                 )
                 return _resolve_rhs(
                     c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im,
@@ -1487,10 +1602,12 @@ def build_kernel_caller(
     width = n + 2
     q = c.q
     kp = c.kp
-    grid_consts = [
-        jnp.asarray(a)
-        for a in (c.ohx23, c.ohx2g, c.ohx3g, c.ohq23, c.chx, c.cht, c.chtneg)
-    ]
+    if cfg.eval_structure == "merged":
+        const_arrs = (c.ohx23, c.ohq23, c.ohg, c.fold_h, c.fold_t)
+    else:
+        const_arrs = (c.ohx23, c.ohx2g, c.ohx3g, c.ohq23, c.chx, c.cht,
+                      c.chtneg)
+    grid_consts = [jnp.asarray(a) for a in const_arrs]
 
     def _const_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0),

@@ -67,6 +67,13 @@ class HCConfig:
     # adoption on convergence statistics; "highest" is the plain
     # HIGHEST-precision path.  Interpret mode always uses plain f32.
     eval_precision: str = "split3"
+    # Evaluator op structure: "merged" issues 3 constant matmuls per
+    # evaluation (combined [x2|x3] front, one combo gather, one
+    # block-diagonal [hx|rhs] fold -- bit-identical per row to the
+    # classic form, ops/fused._eval_core_merged); "classic" issues the
+    # original 5.  Fewer issues win on v5e despite some zero MXU tiles
+    # (tools/microbench_fused.py phases evals vs evalm).
+    eval_structure: str = "merged"
     # Tracker backend: "fused" = Pallas fused kernel (ops/fused.py, the
     # production path), "xla" = plain-JAX masked while_loop (ops/tracker.py,
     # the oracle / CPU-HC equivalent).
