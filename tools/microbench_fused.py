@@ -344,12 +344,18 @@ def main():
         cfg = dataclasses.replace(
             cfg, hc=dataclasses.replace(cfg.hc, solver="schedule")
         )
+    if "--classic" in args:
+        # A/B the full step with the 5-matmul evaluator structure.
+        args.remove("--classic")
+        cfg = dataclasses.replace(
+            cfg, hc=dataclasses.replace(cfg.hc, eval_structure="classic")
+        )
     phases = args or [
         "fillp", "mm5", "front", "eval", "evasm", "elim", "back",
         "evsolve", "step",
     ]
     problem = TrifocalProblem.load(cfg)
-    print(f"solver: {cfg.hc.solver}")
+    print(f"solver: {cfg.hc.solver}  eval_structure: {cfg.hc.eval_structure}")
     for ph in phases:
         if ph == "step":
             us = run_step(problem, cfg, 64)
