@@ -344,12 +344,13 @@ def main():
         cfg = dataclasses.replace(
             cfg, hc=dataclasses.replace(cfg.hc, solver="schedule")
         )
-    if "--classic" in args:
-        # A/B the full step with the 5-matmul evaluator structure.
-        args.remove("--classic")
-        cfg = dataclasses.replace(
-            cfg, hc=dataclasses.replace(cfg.hc, eval_structure="classic")
-        )
+    for flag, structure in (("--classic", "classic"), ("--merged", "merged")):
+        # A/B the full step's evaluator structure explicitly.
+        if flag in args:
+            args.remove(flag)
+            cfg = dataclasses.replace(
+                cfg, hc=dataclasses.replace(cfg.hc, eval_structure=structure)
+            )
     phases = args or [
         "fillp", "mm5", "front", "eval", "evasm", "elim", "back",
         "evsolve", "step",

@@ -71,9 +71,13 @@ class HCConfig:
     # evaluation (combined [x2|x3] front, one combo gather, one
     # block-diagonal [hx|rhs] fold -- bit-identical per row to the
     # classic form, ops/fused._eval_core_merged); "classic" issues the
-    # original 5.  Fewer issues win on v5e despite some zero MXU tiles
-    # (tools/microbench_fused.py phases evals vs evalm).
-    eval_structure: str = "merged"
+    # original 5.  The merged bet: fewer op issues beat the extra zero
+    # MXU tiles on v5e (the eval phase is issue-bound).  Default stays
+    # "classic" until the merged path's Mosaic compile + step time +
+    # convergence stats are validated on hardware (a tunnel outage
+    # blocked that in round 3); A/B via tools/microbench_fused.py
+    # --merged/--classic and phases evals/evalm/evalk.
+    eval_structure: str = "classic"
     # Tracker backend: "fused" = Pallas fused kernel (ops/fused.py, the
     # production path), "xla" = plain-JAX masked while_loop (ops/tracker.py,
     # the oracle / CPU-HC equivalent).
