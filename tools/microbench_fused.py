@@ -170,17 +170,15 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                 o = sdot(consts_ms[3], pxv)
                 out[:] += o[c.nzp:c.nzp + n, :T] + o[:n, :T]
             elif phase == "evalg":
-                # Gather-only merge: one gather, separate folds.
+                # Gather-only merge: one gather, separate folds (the
+                # production "gathered" structure, bit-identical to
+                # classic split3).
                 fused._fill_P(c, prk, agq, t_w, rk=True)
-                sdot = fused._sdot
-                a = c.sec_a
-                fac = sdot(consts_ms[0], xp_w)
-                u = fused._cmul_w(fac[:a], fac[a:2 * a], T)
-                z = fused._cmul_w(u, fac[2 * a:], T)
-                pxc = sdot(consts_ms[1], z)
-                pxv = fused._cmul_w(prk[:], pxc, T)
-                hx = sdot(consts_s[3], pxv[:c.k2p])
-                rhs = sdot(consts_s[5], pxv[c.k2p:])
+                cg = (consts_s[0], consts_ms[1], consts_s[3],
+                      consts_s[4], consts_s[5])
+                hx, rhs = fused._eval_core_gathered(
+                    c, cg, prk[:], xp_w, T, want_h=False,
+                    dot=fused._sdot)
                 out[:] += rhs[:, :T] + hx[:n, :T]
             elif phase == "evrhs":
                 # Evaluation without the Hx half (the RKJ rhs-only path):
@@ -344,7 +342,9 @@ def main():
         cfg = dataclasses.replace(
             cfg, hc=dataclasses.replace(cfg.hc, solver="schedule")
         )
-    for flag, structure in (("--classic", "classic"), ("--merged", "merged")):
+    for flag, structure in (("--classic", "classic"),
+                            ("--gathered", "gathered"),
+                            ("--merged", "merged")):
         # A/B the full step's evaluator structure explicitly.
         if flag in args:
             args.remove(flag)

@@ -752,21 +752,58 @@ def _eval_core(c: FusedConstants, consts, P, xp_w, T: int,
     return hx, rhs
 
 
+def _eval_core_gathered(c: FusedConstants, consts, P, xp_w, T: int,
+                        want_h: bool, need_hx: bool = True, dot=_dot):
+    """Gather-merged evaluator: 4 constant matmuls instead of 5.
+
+    Block C's quad section resolves to 1+0i (FusedConstants.build), so
+    ONE complex product z = u * fac_C yields [x2 | x3] contiguously and
+    the combined one-hot gather ``ohg`` emits all 624 combos in ONE
+    matmul (replacing ohx2g + ohx3g); the hx/rhs folds stay the classic
+    matrices.  Although every step is ALGEBRAICALLY identical to
+    _eval_core (one-hot rows, multiply by exact 1+0i), results differ
+    from classic at the ~1-ulp level: XLA duplicates elementwise
+    producers into consumers and contracts mul/add chains into FMAs
+    per fusion context, so the recomputed ``u`` inside the z product
+    rounds differently (measured 2e-6 abs inside the kernel, CPU
+    interpret).  Bit-reproducibility across restructured graphs is not
+    an XLA contract -- adoption of ANY eval_structure is therefore
+    gated on convergence statistics (tools/reconcile_stats.py), like an
+    eval-precision change.
+    """
+    (ohx23, ohg, chx, cht, chtneg) = consts
+    a = c.sec_a
+    fac = dot(ohx23, xp_w)                      # (3*sec_a, 2T)
+    u = _cmul_w(fac[:a], fac[a:2 * a], T)       # [x2 | ab]
+    z = _cmul_w(u, fac[2 * a:], T)              # [x2 | x3]
+    px = dot(ohg, z)                            # (kp, 2T) all combos
+    pxv = _cmul_w(P, px, T)
+    rhs = dot(cht if want_h else chtneg, pxv[c.k2p:])
+    if not need_hx:
+        return None, rhs
+    hx = dot(chx, pxv[:c.k2p])
+    return hx, rhs
+
+
 def _eval_core_merged(c: FusedConstants, consts, P, xp_w, T: int,
                       want_h: bool, need_hx: bool = True, dot=_dot,
                       dot_g=None, dot_f=None):
     """Merged-form evaluator: 3 constant matmuls instead of 5.
 
-    Same semantics as _eval_core (bit-identical per row: the merged
-    matmuls only append exact-zero terms / rearrange one-hot rows).
-    Block C's quad section resolves to 1+0i (FusedConstants.build), so
-    ONE complex product z = u * fac_C yields [x2 | x3]; the combined
-    gather ``ohg`` emits all combos at once; ONE wide P product and the
+    Same math as _eval_core up to compiler rounding (~1 ulp of row
+    magnitude; see _eval_core_gathered for why XLA does not guarantee
+    bit-reproducibility across restructured graphs) -- same precision
+    class as split3 itself, so adoption is gated on convergence
+    statistics (tools/reconcile_stats.py), like any eval-precision
+    change.
+    Structure: one complex product z = u * fac_C yields [x2 | x3]; the
+    combined gather ``ohg`` emits all combos; ONE wide P product and the
     block-diagonal fold emit hx and rhs together.  The bet: fewer op
     issues beat the extra zero MXU tiles on v5e (the eval phase is
     issue-bound, ~2x above its flop floor).  A/B via
-    tools/microbench_fused phases evals (classic) / evalm (merged) /
-    evalk (merged + K-concat gathers) and HCConfig.eval_structure.
+    tools/microbench_fused phases evals (classic) / evalg (gathered) /
+    evalm (merged) / evalk (merged + K-concat gathers) and
+    HCConfig.eval_structure.
 
     Returns (out (nzp+np8, 2T) holding hx rows [0:nnz], rhs (n, 2T)).
     """
@@ -1279,8 +1316,10 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
     n = len(c.perm)
 
     merged = cfg.eval_structure == "merged"
-    nconst = 5 if merged else 7
-    eval_fn = _eval_core_merged if merged else _eval_core
+    gathered = cfg.eval_structure == "gathered"
+    nconst = 5 if merged else (6 if gathered else 7)
+    eval_fn = (_eval_core_merged if merged
+               else _eval_core_gathered if gathered else _eval_core)
 
     def kernel(niter, x0_re, x0_im, xli_re, xli_im, fli,
                apr, api, bpr, bpi, cpr, cpi, *rest):
@@ -1297,6 +1336,9 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
         if merged:
             ohx23, ohq23, ohg, fold_h, fold_t = cr
             consts_f = (ohx23[:], ohg[:], fold_h[:], fold_t[:])
+        elif gathered:
+            ohx23, ohq23, ohg, chx, cht, chtneg = cr
+            consts_f = (ohx23[:], ohg[:], chx[:], cht[:], chtneg[:])
         else:
             ohx23, ohx2g, ohx3g, ohq23, chx, cht, chtneg = cr
             consts_f = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:],
@@ -1322,6 +1364,8 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 dots_rk = (dict(dot_g=_kdot2, dot_f=_sdot2)
                            if rk2 else dots)
             else:
+                # classic AND gathered: per-matmul 3-term splits, added in
+                # a fixed order -- the two structures stay bit-identical.
                 consts = consts_b
                 dots = dict(dot=_sdot)
                 # RK-stage matmul precision: a 1-pass bf16 predictor was
@@ -1334,8 +1378,8 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 dots_rk = dict(dot=_sdot2) if rk2 else dots
         else:
             consts = consts_f
-            dots = dots_rk = (dict(dot=_dot) if not merged
-                              else dict(dot_g=_dot, dot_f=_dot))
+            dots = dots_rk = (dict(dot_g=_dot, dot_f=_dot) if merged
+                              else dict(dot=_dot))
 
         # Hoisted pair-product quadratic coefficients, gathered to combos
         # once per tile in wide [re | im] lane layout (the L2-persistent
@@ -1604,6 +1648,8 @@ def build_kernel_caller(
     kp = c.kp
     if cfg.eval_structure == "merged":
         const_arrs = (c.ohx23, c.ohq23, c.ohg, c.fold_h, c.fold_t)
+    elif cfg.eval_structure == "gathered":
+        const_arrs = (c.ohx23, c.ohq23, c.ohg, c.chx, c.cht, c.chtneg)
     else:
         const_arrs = (c.ohx23, c.ohx2g, c.ohx3g, c.ohq23, c.chx, c.cht,
                       c.chtneg)

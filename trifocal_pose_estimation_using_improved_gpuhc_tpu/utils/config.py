@@ -67,16 +67,21 @@ class HCConfig:
     # adoption on convergence statistics; "highest" is the plain
     # HIGHEST-precision path.  Interpret mode always uses plain f32.
     eval_precision: str = "split3"
-    # Evaluator op structure: "merged" issues 3 constant matmuls per
-    # evaluation (combined [x2|x3] front, one combo gather, one
-    # block-diagonal [hx|rhs] fold -- bit-identical per row to the
-    # classic form, ops/fused._eval_core_merged); "classic" issues the
-    # original 5.  The merged bet: fewer op issues beat the extra zero
-    # MXU tiles on v5e (the eval phase is issue-bound).  Default stays
-    # "classic" until the merged path's Mosaic compile + step time +
-    # convergence stats are validated on hardware (a tunnel outage
-    # blocked that in round 3); A/B via tools/microbench_fused.py
-    # --merged/--classic and phases evals/evalm/evalk.
+    # Evaluator op structure ("classic" | "gathered" | "merged"):
+    # "classic" issues the original 5 constant matmuls per evaluation;
+    # "gathered" merges the two combo gathers into one (4 matmuls,
+    # ops/fused._eval_core_gathered); "merged" also fuses the hx/rhs
+    # folds into one block-diagonal matmul (3 matmuls,
+    # ops/fused._eval_core_merged).  Both are algebraically identical to
+    # classic but differ at the ~1-ulp level (XLA re-fuses/contracts
+    # restructured graphs differently), so adopting either is gated on
+    # convergence statistics like an eval-precision change.  The bet for
+    # both: fewer op issues beat extra zero MXU tiles on v5e (the eval
+    # phase is issue-bound).  Default stays "classic" until the new
+    # paths' Mosaic compile + step time + conv stats are measured on
+    # hardware (a tunnel outage blocked that in round 3); A/B via
+    # tools/microbench_fused.py --classic/--gathered/--merged and
+    # phases evals/evalg/evalm/evalk.
     eval_structure: str = "classic"
     # Tracker backend: "fused" = Pallas fused kernel (ops/fused.py, the
     # production path), "xla" = plain-JAX masked while_loop (ops/tracker.py,
