@@ -81,8 +81,12 @@ class HCConfig:
     # paths' Mosaic compile + step time + conv stats are measured on
     # hardware (a tunnel outage blocked that in round 3); A/B via
     # tools/microbench_fused.py --classic/--gathered/--merged and
-    # phases evals/evalg/evalm/evalk.
-    eval_structure: str = "classic"
+    # phases evals/evalg/evalm/evalk.  TPUHC_EVAL_STRUCTURE overrides the
+    # default (campaign tooling: lets reconcile_stats.py / bench.py A/B a
+    # structure without touching code).
+    eval_structure: str = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "TPUHC_EVAL_STRUCTURE", "classic"))
     # Tracker backend: "fused" = Pallas fused kernel (ops/fused.py, the
     # production path), "xla" = plain-JAX masked while_loop (ops/tracker.py,
     # the oracle / CPU-HC equivalent).
