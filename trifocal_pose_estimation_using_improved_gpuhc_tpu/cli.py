@@ -59,6 +59,10 @@ def main(argv=None) -> int:
     ap.add_argument("--stream", action="store_true",
                     help="streamed recovery: pipeline host prep/scoring of "
                          "one view with device tracking of the next")
+    ap.add_argument("--eval-structure", default=None,
+                    choices=["classic", "gathered", "merged"],
+                    help="evaluator op structure (HCConfig.eval_structure; "
+                         "default: TPUHC_EVAL_STRUCTURE env or 'classic')")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the timed "
                          "rounds into DIR (view with tensorboard/xprof)")
@@ -102,6 +106,11 @@ def main(argv=None) -> int:
         )
     if args.data_root:
         cfg = dataclasses.replace(cfg, data_root=args.data_root)
+    if args.eval_structure is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            hc=dataclasses.replace(cfg.hc, eval_structure=args.eval_structure),
+        )
     os.makedirs(args.output_dir, exist_ok=True)
 
     if args.ablation:
