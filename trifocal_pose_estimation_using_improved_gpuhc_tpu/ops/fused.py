@@ -57,6 +57,7 @@ line; see its docstring for the reference citations.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -1722,6 +1723,16 @@ def build_kernel_caller(
             input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4},
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
+                # Tiles are independent (block-partitioned outputs, no
+                # cross-tile state), so the grid axis is declarable
+                # "parallel"; TPUHC_GRID_PARALLEL=1 A/Bs whether Mosaic
+                # overlaps tile prologue/epilogue work across programs
+                # (VERDICT r2 item 2's multi-program-in-flight lever).
+                # Default stays "arbitrary" pending a measured win.
+                dimension_semantics=(
+                    ("parallel",)
+                    if os.environ.get("TPUHC_GRID_PARALLEL") else None
+                ),
             ),
             interpret=interpret,
         )(niter, x_re, x_im, xl_re, xl_im, fl, *coefs, *grid_consts)
