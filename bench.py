@@ -42,11 +42,11 @@ def run(num_hypotheses: int):
     return n_paths / (best_ms / 1e3), best_ms, n_paths
 
 
-def main():
-    # The tunnelled TPU runtime occasionally wedges for 15-45 min (even a
-    # trivial op hangs); retry with patience before shrinking the
-    # workload so a transient outage doesn't zero the benchmark.
-    attempts = [(100, 0), (100, 600), (32, 300), (32, 600)]
+def child_main():
+    # One measurement attempt tier inside a supervised subprocess (the
+    # parent kills us on a hang -- a wedged tunnel blocks inside a jax
+    # call without raising, so in-process retries alone cannot recover).
+    attempts = [(100, 0), (100, 300), (32, 120)]
     for H, wait in attempts:
         try:
             if wait:
@@ -59,8 +59,6 @@ def main():
             print(f"bench: H={H} failed ({type(e).__name__}), retrying",
                   file=sys.stderr)
     else:
-        print(json.dumps({"metric": "HC paths/sec/chip", "value": 0.0,
-                          "unit": "paths/s", "vs_baseline": 0.0}))
         return 1
     print(json.dumps({
         "metric": "HC paths/sec/chip",
@@ -69,6 +67,58 @@ def main():
         "vs_baseline": round(paths_per_sec / BASELINE_PATHS_PER_SEC, 4),
     }))
     return 0
+
+
+def main():
+    """Supervisor: wait out tunnel outages, then measure in a child.
+
+    The tunnelled TPU runtime wedges for 15-45 min routinely and 6+ HOURS
+    occasionally (even jax.devices() hangs at backend init), so a fixed
+    retry ladder can zero the benchmark.  The parent probes with a tiny
+    subprocess (bounded by timeout, surviving full hangs), then runs the
+    measurement in a killable child; it keeps trying until
+    TPUHC_BENCH_PATIENCE_S (default 3 h) elapses.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("TPUHC_BENCH_CHILD"):
+        return child_main()
+    patience = float(os.environ.get("TPUHC_BENCH_PATIENCE_S", "10800"))
+    deadline = time.time() + patience
+    env = dict(os.environ, TPUHC_BENCH_CHILD="1")
+    probe_src = ("import jax, jax.numpy as jnp, numpy as np; "
+                 "print(np.asarray(jnp.ones((8, 8)).sum()))")
+    first = True
+    while first or time.time() < deadline:
+        first = False
+        try:
+            subprocess.run([sys.executable, "-c", probe_src], timeout=240,
+                           check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        except Exception:
+            print("bench: TPU probe failed; waiting out the outage",
+                  file=sys.stderr)
+            time.sleep(120)
+            continue
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__], timeout=5400, env=env,
+                stdout=subprocess.PIPE,
+            )
+        except subprocess.TimeoutExpired:
+            print("bench: measurement child hung; restarting",
+                  file=sys.stderr)
+            continue
+        lines = out.stdout.decode().strip().splitlines()
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        print("bench: measurement child failed; retrying", file=sys.stderr)
+        time.sleep(60)
+    print(json.dumps({"metric": "HC paths/sec/chip", "value": 0.0,
+                      "unit": "paths/s", "vs_baseline": 0.0}))
+    return 1
 
 
 if __name__ == "__main__":
