@@ -22,3 +22,20 @@ def test_eval_structure_env_override(monkeypatch):
     assert h.eval_structure == "gathered"  # replace re-reads nothing
     monkeypatch.delenv("TPUHC_EVAL_STRUCTURE")
     assert HCConfig().eval_structure == "classic"
+
+
+def test_cjr_and_solver_env_overrides(monkeypatch):
+    """TPUHC_CJR / TPUHC_SOLVER select the modified-Newton corrector
+    (freeze after k full iterations; 0 = off) and the solve machinery
+    for campaign A/Bs without code edits."""
+    assert HCConfig().corrector_jacobian_reuse == 0
+    assert HCConfig().solver == "reduced"
+    monkeypatch.setenv("TPUHC_CJR", "2")
+    monkeypatch.setenv("TPUHC_SOLVER", "schedule")
+    assert HCConfig().corrector_jacobian_reuse == 2
+    assert HCConfig().solver == "schedule"
+    assert HCConfig(corrector_jacobian_reuse=0,
+                    solver="reduced").solver == "reduced"
+    monkeypatch.delenv("TPUHC_CJR")
+    monkeypatch.delenv("TPUHC_SOLVER")
+    assert HCConfig().corrector_jacobian_reuse == 0

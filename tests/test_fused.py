@@ -188,6 +188,40 @@ def test_structure_tracker_matches_classic(problem, hc, workload,
 
 
 @pytest.mark.slow
+def test_cjr_tracker_matches_oracle(problem, hc, workload):
+    """Modified-Newton corrector (CJR, HCConfig): fused kernel vs oracle.
+
+    The fused kernel replays the saved factorization of the first
+    corrector iterate's Hx on later iterations' H rhs
+    (fused._reduce_resolve_rhs); the XLA oracle freezes the Hx MATRIX
+    and re-solves (ops/tracker.py corr_body) -- the same modified-Newton
+    map through different algorithms, so flags/step counts must agree
+    exactly on the short test workload, like the full-Newton parity
+    test above.  This pins the CJR kernel wiring before any TPU
+    campaign spends time on it.
+    """
+    x0, tgt_b, diff_b, _ = workload
+    hc_c = dataclasses.replace(hc, corrector_jacobian_reuse=1)
+    ro = tracker.make_track_fn(problem, hc_c)(x0, tgt_b, diff_b)
+    rf = fused.make_track_fn(problem, hc_c, tile=_TILE, interpret=True)(
+        x0, tgt_b, diff_b
+    )
+    assert (rf.num_steps == ro.num_steps).all()
+    assert (rf.converged == ro.converged).all()
+    assert (rf.pruned == ro.pruned).all()
+    assert (rf.inf_fail == ro.inf_fail).all()
+    # Value band on LIVE paths only (measured 4e-6): inf-failed/pruned
+    # paths hold diverged states where replay-vs-resolve rounding
+    # (~1e-5/solve) amplifies without bound under CJR's linear (not
+    # quadratic) contraction.
+    live = ~ro.pruned & ~ro.inf_fail
+    assert live.any()
+    rel = np.abs(rf.x[live] - ro.x[live]).max() / max(
+        np.abs(ro.x[live]).max(), 1.0)
+    assert rel < 1e-3
+
+
+@pytest.mark.slow
 def test_segmented_matches_oracle(cfg, problem, hc, workload, oracle_result):
     from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import segmented
 

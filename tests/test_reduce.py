@@ -124,6 +124,139 @@ def test_reduced_layout_invariants(problem):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("solver", ["reduced", "schedule"])
+def test_resolve_rhs_replays_factorization(problem, solver):
+    """Saved-factorization rhs replay == direct solve (both solvers).
+
+    The replay path (_resolve_rhs / _reduce_resolve_rhs, used by the
+    modified-Newton corrector and frozen-Jacobian RK strategies) applies
+    the identical pivot one-hots / multipliers to the rhs vector alone,
+    so on the SAME rhs it must reproduce the direct solve to rounding
+    noise, and on a doubled rhs it must scale exactly (elimination is
+    linear in the rhs; x2 is exponent arithmetic, no rounding).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.ops import (
+        eval as ev,
+    )
+
+    c = fused.FusedConstants.build(problem, solver=solver)
+    assert (c.reduced is not None) == (solver == "reduced")
+    T, n, width = 8, 30, 32
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((T, n))
+         + 1j * rng.standard_normal((T, n))).astype(np.complex64)
+    tval = 0.43
+    tgt = (rng.standard_normal((T, 34))
+           + 1j * rng.standard_normal((T, 34))).astype(np.complex64)
+    tgt[:, 33] = 1.0
+    diff = tgt - problem.start_params
+
+    p = ev.param_homotopy(
+        jnp.full((T,), tval, jnp.float32), problem.start_params,
+        jnp.asarray(tgt),
+    )
+    hx_o, h_o, _ = ev.eval_all_factored(
+        problem, jnp.asarray(x), p, jnp.asarray(diff),
+        need_h=True, need_ht=False,
+    )
+    dx_o = np.stack([
+        np.linalg.solve(np.asarray(hx_o)[i], np.asarray(h_o)[i])
+        for i in range(T)
+    ])
+
+    perm = np.asarray(c.perm)
+
+    def kernel(xr, xi, apr, api, bpr, bpi, cpr, cpi,
+               ohx23, ohx2g, ohx3g, ohq23, chx, cht, chtneg,
+               dx1r, dx1i, dx2r, dx2i, dx3r, dx3i,
+               m_sc, sv_re, sv_im, used, xe_re, xe_im, agq, P,
+               foh, ffr, ffi, rr_re, rr_im):
+        consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:], chtneg[:])
+        for i, (a, b) in enumerate(((apr, api), (bpr, bpi), (cpr, cpi))):
+            wide = jnp.concatenate([a[:], b[:]], axis=1)
+            agq[i] = fused._dot(ohq23[:], wide)
+        ones = jnp.ones((1, T), jnp.float32)
+        zeros = jnp.zeros((1, T), jnp.float32)
+        xp_w = jnp.concatenate(
+            [jnp.concatenate([xr[:], ones], 0),
+             jnp.concatenate([xi[:], zeros], 0)], axis=1
+        )
+        t_w = jnp.full((1, 2 * T), tval, jnp.float32)
+        fused._fill_P(c, P, agq, t_w, rk=False)
+        hx, h = fused._eval_core(c, consts, P[:], xp_w, T, want_h=True)
+        fused._assemble(c, m_sc, hx, h, T)
+        dr, di = fused._solve(
+            c, m_sc, sv_re, sv_im, used, xe_re, xe_im, T,
+            save=(foh, ffr, ffi),
+        )
+        dx1r[:] = dr
+        dx1i[:] = di
+        replay = (fused._reduce_resolve_rhs if c.reduced is not None
+                  else fused._resolve_rhs)
+        dr2, di2 = replay(c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im,
+                          xe_re, xe_im, h, T)
+        dx2r[:] = dr2
+        dx2i[:] = di2
+        dr3, di3 = replay(c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im,
+                          xe_re, xe_im, 2.0 * h, T)
+        dx3r[:] = dr3
+        dx3i[:] = di3
+
+    coefs = fused.build_pair_coefs(
+        problem, jnp.asarray(diff.real), jnp.asarray(diff.imag), T
+    )
+    xb = x.T[perm]
+    gc = [jnp.asarray(a) for a in (
+        c.ohx23, c.ohx2g, c.ohx3g, c.ohq23, c.chx, c.cht, c.chtneg)]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, T), jnp.float32),) * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 15,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 6,
+        scratch_shapes=[
+            pltpu.VMEM((n, width, 2 * T), jnp.float32),
+            pltpu.VMEM((n, width, T), jnp.float32),
+            pltpu.VMEM((n, width, T), jnp.float32),
+            pltpu.VMEM((n, T), jnp.float32),
+            pltpu.VMEM((width, T), jnp.float32),
+            pltpu.VMEM((width, T), jnp.float32),
+            pltpu.VMEM((3, c.kp, 2 * T), jnp.float32),
+            pltpu.VMEM((c.kp, 2 * T), jnp.float32),
+            pltpu.VMEM((n, n, T), jnp.float32),
+            pltpu.VMEM((n, n, T), jnp.float32),
+            pltpu.VMEM((n, n, T), jnp.float32),
+            pltpu.VMEM((n, T), jnp.float32),
+            pltpu.VMEM((n, T), jnp.float32),
+        ],
+        interpret=True,
+    )(xb.real.astype(np.float32), xb.imag.astype(np.float32), *coefs, *gc)
+    inv = np.argsort(perm)
+    dx1 = (np.asarray(outs[0]) + 1j * np.asarray(outs[1]))[inv].T
+    dx2 = (np.asarray(outs[2]) + 1j * np.asarray(outs[3]))[inv].T
+    dx3 = (np.asarray(outs[4]) + 1j * np.asarray(outs[5]))[inv].T
+    # Direct solve is valid against the dense oracle.
+    np.testing.assert_allclose(dx1, dx_o, rtol=2e-3, atol=2e-4)
+    # Replay of the same rhs: identical pivots/multipliers and update
+    # arithmetic, but XLA contracts/fuses the 3D forward vs the 2D
+    # replay graphs differently (no bit-reproducibility contract across
+    # restructured graphs -- same class as the eval_structure variants),
+    # measured ~1e-5 relative on the reduced path.
+    np.testing.assert_allclose(dx2, dx1, rtol=1e-4, atol=1e-6)
+    # Linearity: doubled rhs -> doubled solution.  Would be bitwise for
+    # a fixed op DAG (every replay intermediate is homogeneous degree 1
+    # in the rhs and x2 is exponent arithmetic), but XLA fuses the two
+    # inline replay expansions differently on the reduced path (~2e-6
+    # relative measured); the check still catches structural replay
+    # bugs (stale rows, wrong one-hots), which are O(1) errors.
+    np.testing.assert_allclose(dx3, 2.0 * dx2, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_cross_solver_tracker_parity(problem, hc, workload):
     """Reduced and schedule fused kernels agree path-for-path (interpret
     mode, plain f32): same pivots and update arithmetic, only backsub

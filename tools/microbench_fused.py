@@ -9,7 +9,8 @@ fixed launch/transfer costs cancel (axon d2h sync is ~24 ms; see
 .claude/skills/verify/SKILL.md).
 
 Usage: python tools/microbench_fused.py [phase ...]
-Phases: fillp eval evasm evsolve step   (default: all)
+Phases: fillp eval evasm evsolve replay step   (default: all; "replay" =
+the CJR corrector iteration, compare against "evsolve")
 """
 
 import sys
@@ -47,7 +48,7 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                ohg, fold_h, fold_t,
                out,
                m_sc, sv_re, sv_im, used, xe_re, xe_im,
-               agq, px, prk):
+               agq, px, prk, foh, ffr, ffi, rr_re, rr_im):
         consts = (ohx23[:], ohx2g[:], ohx3g[:], chx[:], cht[:], chtneg[:])
         consts_m = (ohx23[:], ohg[:], fold_h[:], fold_t[:])
         consts_s = tuple(a.astype(jnp.bfloat16) for a in consts)
@@ -180,6 +181,29 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                     c, cg, prk[:], xp_w, T, want_h=False,
                     dot=fused._sdot)
                 out[:] += rhs[:, :T] + hx[:n, :T]
+            elif phase == "replay":
+                # CJR corrector iteration: H-only eval + saved-
+                # factorization rhs replay (compare against "evsolve",
+                # the full corrector iteration it replaces).  The
+                # save-solve runs once at i == 0 and cancels in the
+                # two-point timing difference.
+                @pl.when(i == 0)
+                def _():
+                    fused._fill_P(c, prk, agq, t_w, rk=False)
+                    hx0, rhs0 = fused._eval_core(
+                        c, consts, prk[:], xp_w, T, want_h=True)
+                    fused._assemble(c, m_sc, hx0, rhs0, T)
+                    fused._solve(c, m_sc, sv_re, sv_im, used,
+                                 xe_re, xe_im, T, save=(foh, ffr, ffi))
+                fused._fill_P(c, prk, agq, t_w, rk=False)
+                _, rhs = fused._eval_core(
+                    c, consts, prk[:], xp_w, T, want_h=True,
+                    need_hx=False)
+                rp = (fused._reduce_resolve_rhs if c.reduced is not None
+                      else fused._resolve_rhs)
+                dr, di = rp(c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im,
+                            xe_re, xe_im, rhs, T)
+                out[:] += dr + di
             elif phase == "evrhs":
                 # Evaluation without the Hx half (the RKJ rhs-only path):
                 # isolates the hx-branch cost within "eval".
@@ -269,6 +293,11 @@ def run_phase(problem, cfg, phase: str, iters: int):
                 pltpu.VMEM((3, kp, 2 * TILE), jnp.float32),
                 pltpu.VMEM((kp, 2 * TILE), jnp.float32),
                 pltpu.VMEM((kp, 2 * TILE), jnp.float32),
+                pltpu.VMEM((n, n, TILE), jnp.float32),
+                pltpu.VMEM((n, n, TILE), jnp.float32),
+                pltpu.VMEM((n, n, TILE), jnp.float32),
+                pltpu.VMEM((n, TILE), jnp.float32),
+                pltpu.VMEM((n, TILE), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),

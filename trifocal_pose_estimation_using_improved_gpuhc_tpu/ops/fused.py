@@ -858,8 +858,7 @@ def _solve(c: FusedConstants, m, sv_re, sv_im, used, xe_re, xe_im, T: int,
     plain-schedule path only).
     """
     if c.reduced is not None:
-        assert save is None, "rk_jacobian_reuse requires solver='schedule'"
-        _reduce_forward(c, m, sv_re, sv_im, used, T)
+        _reduce_forward(c, m, sv_re, sv_im, used, T, save=save)
         return _reduce_backsub(c, sv_re, sv_im, xe_re, xe_im, T)
     _eliminate(c, m, sv_re, sv_im, used, T, save=save)
     return _backsub(c, sv_re, sv_im, xe_re, xe_im, T)
@@ -972,7 +971,7 @@ def _backsub(c: FusedConstants, sv_re, sv_im, xe_re, xe_im, T: int):
 
 
 def _fam_forward(c: FusedConstants, fam: FamMeta, m, sv_re, sv_im, T: int,
-                 prev_outs):
+                 prev_outs, save=None):
     """One batched family elimination stage (condensed path).
 
     All nG groups run their l restricted-pivot steps together: the group
@@ -982,6 +981,12 @@ def _fam_forward(c: FusedConstants, fam: FamMeta, m, sv_re, sv_im, T: int,
     partial pivoting (ops/reduce.py module doc).  Surviving rows are
     compacted in ascending original order and either stored into the
     reduced system (out_runs) or handed to a consumer family as values.
+
+    save = (foh, ffr, ffi): record step k's per-row-tensor one-hots and
+    multipliers at first index [base + k*nG : base + k*nG + nG], second
+    index j (family slots occupy [0:col_off), so these never collide
+    with the reduced stages' save rows at [col_off:n)) -- see
+    _reduce_resolve_rhs.
     """
     red = c.reduced
     co = red.col_off
@@ -1066,6 +1071,11 @@ def _fam_forward(c: FusedConstants, fam: FamMeta, m, sv_re, sv_im, T: int,
             nm = 1.0 - ohs[j]
             fr = fr * nm
             fi = fi * nm
+            if save is not None:
+                foh, ffr, ffi = save
+                foh[sl:sl + nG, j] = ohs[j]
+                ffr[sl:sl + nG, j] = fr
+                ffi[sl:sl + nG, j] = fi
             frb = fr[:, None, :]
             fib = fi[:, None, :]
             Wre[j] = Wre[j] - (frb * prw_re - fib * prw_im)
@@ -1124,9 +1134,15 @@ def _fam_forward(c: FusedConstants, fam: FamMeta, m, sv_re, sv_im, T: int,
     return (outsW, outsB, fam.blk)
 
 
-def _reduce_forward(c: FusedConstants, m, sv_re, sv_im, used, T: int):
+def _reduce_forward(c: FusedConstants, m, sv_re, sv_im, used, T: int,
+                    save=None):
     """Condensed forward elimination: family stages, then the reduced
-    system (m rows [0:n2] at columns [col_off:width])."""
+    system (m rows [0:n2] at columns [col_off:width]).
+
+    save = (foh, ffr, ffi): record pivot one-hots + multipliers so
+    _reduce_resolve_rhs can replay the factorization on a new rhs
+    (family steps at rows [0:col_off) / second index j; reduced stages
+    at rows [col_off + s])."""
     red = c.reduced
     co = red.col_off
     n = len(c.perm)
@@ -1134,7 +1150,7 @@ def _reduce_forward(c: FusedConstants, m, sv_re, sv_im, used, T: int):
     prev_outs: List = []
     for fam in red.fams:
         prev_outs.append(_fam_forward(c, fam, m, sv_re, sv_im, T,
-                                      prev_outs))
+                                      prev_outs, save=save))
 
     # Reduced-system elimination: same machinery as _eliminate, shifted
     # into the tail column window with save slots at col_off + s.
@@ -1180,6 +1196,11 @@ def _reduce_forward(c: FusedConstants, m, sv_re, sv_im, used, T: int):
             nm = 1.0 - oh
             fr = fr * nm
             fi = fi * nm
+            if save is not None:
+                foh, ffr, ffi = save
+                foh[co + s, :nc] = oh
+                ffr[co + s, :nc] = fr
+                ffi[co + s, :nc] = fi
             Mre = Mre - (fr[:, None, :] * prow_re[None]
                          - fi[:, None, :] * prow_im[None])
             Mim = Mim - (fr[:, None, :] * prow_im[None]
@@ -1296,6 +1317,119 @@ def _resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
     return _backsub(c, sv_re, sv_im, xe_re, xe_im, T)
 
 
+def _reduce_resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
+                        rr_re, rr_im, xe_re, xe_im, rhs, T: int):
+    """Re-apply a saved CONDENSED factorization to a new rhs + backsub.
+
+    Mirrors _reduce_forward's read/write sequence on the rhs vector
+    alone: family steps replay their saved per-row-tensor one-hots and
+    multipliers, survivors' rhs compact exactly like the matrix rows
+    (same combos as _fam_forward), then the reduced stages replay like
+    _resolve_rhs shifted to save rows [col_off + s].  Each pivot's new
+    rhs overwrites the saved row's rhs column so the shared
+    _reduce_backsub solves against it (column n enters backsub through
+    xe[n] = -1; the pad column's xe stays zero).
+    """
+    red = c.reduced
+    co = red.col_off
+    n = len(c.perm)
+    rr_re[:] = rhs[:, :T]
+    rr_im[:] = rhs[:, T:]
+    prev_r: List = []
+    for fam in red.fams:
+        nG, g, l = fam.nG, fam.g, fam.l
+        Rre: List = [None] * g
+        Rim: List = [None] * g
+        for j in range(g):
+            if fam.src_row_lo >= 0:
+                r0 = fam.src_row_lo + j * nG
+                Rre[j] = rr_re[r0:r0 + nG]
+                Rim[j] = rr_im[r0:r0 + nG]
+            else:
+                pR = prev_r[fam.src_fam]
+                pnG = pR[0][0].shape[0]
+                si, off = divmod(fam.src_slot_lo[j], pnG)
+                Rre[j] = pR[si][0][off:off + nG]
+                Rim[j] = pR[si][1][off:off + nG]
+        used = [jnp.zeros((nG, T), jnp.float32) for _ in range(g)]
+        ohs_first: List = []
+        for k in range(l):
+            sl = fam.base + k * nG
+            ohs = [foh[sl:sl + nG, j] for j in range(g)]
+            pr = ohs[0] * Rre[0]
+            pi = ohs[0] * Rim[0]
+            for j in range(1, g):
+                pr = pr + ohs[j] * Rre[j]
+                pi = pi + ohs[j] * Rim[j]
+            sv_re[sl:sl + nG, n:n + 1] = jnp.expand_dims(pr, 1)
+            sv_im[sl:sl + nG, n:n + 1] = jnp.expand_dims(pi, 1)
+            for j in range(g):
+                fr = ffr[sl:sl + nG, j]
+                fi = ffi[sl:sl + nG, j]
+                Rre[j] = Rre[j] - (fr * pr - fi * pi)
+                Rim[j] = Rim[j] - (fr * pi + fi * pr)
+                used[j] = used[j] + ohs[j]
+            if k == 0:
+                ohs_first = ohs
+
+        outs: List = []
+        if g - l == 1:
+            live = [1.0 - used[j] for j in range(g)]
+            ore = live[0] * Rre[0]
+            oim = live[0] * Rim[0]
+            for j in range(1, g):
+                ore = ore + live[j] * Rre[j]
+                oim = oim + live[j] * Rim[j]
+            outs.append((ore, oim))
+        else:  # (g, l) == (3, 1): two survivors, sorted order
+            oh0, oh1, oh2 = ohs_first
+            w01 = oh1 + oh2
+            w02 = oh0
+            w11 = oh2
+            w12 = oh0 + oh1
+            outs.append((w01 * Rre[0] + w02 * Rre[1],
+                         w01 * Rim[0] + w02 * Rim[1]))
+            outs.append((w11 * Rre[1] + w12 * Rre[2],
+                         w11 * Rim[1] + w12 * Rim[2]))
+
+        if fam.out_runs is not None:
+            for s_i, runs in enumerate(fam.out_runs):
+                ore, oim = outs[s_i]
+                for dst_lo, dst_hi, src_lo in runs:
+                    cnt = dst_hi - dst_lo
+                    rr_re[dst_lo:dst_hi] = ore[src_lo:src_lo + cnt]
+                    rr_im[dst_lo:dst_hi] = oim[src_lo:src_lo + cnt]
+            prev_r.append(None)
+        else:
+            prev_r.append(outs)
+
+    for s, runs, lo in red.red_steps:
+        nc = sum(hi - lo_r for lo_r, hi in runs)
+        if len(runs) == 1:
+            a0, b0 = runs[0]
+            Rre2 = rr_re[a0:b0]
+            Rim2 = rr_im[a0:b0]
+        else:
+            Rre2 = jnp.concatenate([rr_re[a:b] for a, b in runs], axis=0)
+            Rim2 = jnp.concatenate([rr_im[a:b] for a, b in runs], axis=0)
+        oh = foh[co + s, :nc]
+        pr = jnp.sum(oh * Rre2, axis=0, keepdims=True)
+        pi = jnp.sum(oh * Rim2, axis=0, keepdims=True)
+        fr = ffr[co + s, :nc]
+        fi = ffi[co + s, :nc]
+        new_re = Rre2 - (fr * pr - fi * pi)
+        new_im = Rim2 - (fr * pi + fi * pr)
+        off = 0
+        for a, b in runs:
+            w_r = b - a
+            rr_re[a:b] = new_re[off:off + w_r]
+            rr_im[a:b] = new_im[off:off + w_r]
+            off += w_r
+        sv_re[co + s, n:n + 1] = pr
+        sv_im[co + s, n:n + 1] = pi
+    return _reduce_backsub(c, sv_re, sv_im, xe_re, xe_im, T)
+
+
 # ---------------------------------------------------------------------------
 # The kernel.
 # ---------------------------------------------------------------------------
@@ -1329,7 +1463,7 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
          m_sc, sv_re, sv_im, used, xe_re, xe_im,
          agq, prk, pco, cw_re, cw_im, cfl,
          *rkj_and_cont) = rest[nconst:]
-        if cfg.rk_jacobian_reuse:
+        if cfg.rk_jacobian_reuse or cfg.corrector_jacobian_reuse:
             foh, ffr, ffi, rr_re, rr_im, cont = rkj_and_cont
         else:
             (cont,) = rkj_and_cont
@@ -1436,6 +1570,9 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                     c, m_sc, sv_re, sv_im, used, xe_re, xe_im, T, save=save
                 )
 
+            replay_fn = (_reduce_resolve_rhs if c.reduced is not None
+                         else _resolve_rhs)
+
             def es_rhs(x):
                 # Frozen-Jacobian stage: -Ht only, replay the saved
                 # factorization on the new rhs (strategy RKJ; see HCConfig).
@@ -1443,7 +1580,7 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                     c, consts, prk[:], _wide(x), T, False,
                     need_hx=False, **dots_rk
                 )
-                return _resolve_rhs(
+                return replay_fn(
                     c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im,
                     xe_re, xe_im, rhs, T
                 )
@@ -1531,9 +1668,28 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
             cw_im[:] = cur_im
             cfl[:] = jnp.zeros((3, T), jnp.float32)
 
-            def corrector_iter():
+            cjr = cfg.corrector_jacobian_reuse
+
+            def corrector_iter(it=0):
                 donef_l = cfl[2:3]
-                dx = es((cw_re[:], cw_im[:]), pco, True)
+                if cjr and it >= cjr:
+                    # Modified Newton (strategy CJR, see HCConfig): the
+                    # factorization saved on the last full iteration
+                    # replays on the fresh H rhs -- no Hx gather, no
+                    # assembly, no forward elimination.
+                    _, rhs = eval_fn(
+                        c, consts, pco[:], _wide((cw_re[:], cw_im[:])), T,
+                        True, need_hx=False, **dots
+                    )
+                    dx = replay_fn(
+                        c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im,
+                        xe_re, xe_im, rhs, T
+                    )
+                else:
+                    dx = es(
+                        (cw_re[:], cw_im[:]), pco, True,
+                        save=((foh, ffr, ffi) if cjr else None),
+                    )
                 live = 1.0 - donef_l
                 nr = cw_re[:] - live * dx[0]
                 ni = cw_im[:] - live * dx[1]
@@ -1551,11 +1707,11 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 cw_im[:] = ni
                 cfl[:] = jnp.concatenate([sf, inf_f, df], axis=0)
 
-            corrector_iter()
-            for _ in range(cfg.max_correction_steps - 1):
+            corrector_iter(0)
+            for _it in range(1, cfg.max_correction_steps):
                 @pl.when(jnp.min(cfl[2:3]) < 0.5)
-                def _():
-                    corrector_iter()
+                def _(_it=_it):
+                    corrector_iter(_it)
             successf = cfl[0:1]
             inff = cfl[1:2]
             cur_re = cw_re[:]
@@ -1691,9 +1847,10 @@ def build_kernel_caller(
             pltpu.VMEM((n, tile), jnp.float32),         # cw_im
             pltpu.VMEM((3, tile), jnp.float32),         # cfl
         ]
-        if cfg.rk_jacobian_reuse:
+        if cfg.rk_jacobian_reuse or cfg.corrector_jacobian_reuse:
             # Saved pivot one-hots + multipliers + rhs-replay workspace for
-            # the frozen-Jacobian ablation (ops/fused._resolve_rhs).
+            # the frozen-Jacobian RK ablation / the modified-Newton
+            # corrector (ops/fused._resolve_rhs).
             scratch += [
                 pltpu.VMEM((n, n, tile), jnp.float32),
                 pltpu.VMEM((n, n, tile), jnp.float32),

@@ -177,11 +177,24 @@ def make_step_fn(
         )
         p_corr = ev.param_homotopy(t_c, start, target_params)
 
-        def corr_body(_, carry):
-            x, success, inf, done = carry
+        cjr = int(cfg.corrector_jacobian_reuse)
+
+        def corr_body(i, carry):
+            # The Hx carry exists only under CJR: a dead (B, n, n) loop
+            # carry is real memory traffic on the CPU tracker otherwise.
+            if cjr:
+                x, success, inf, done, hx0 = carry
+            else:
+                x, success, inf, done = carry
             hx, h, _ = ev.eval_all_factored(
                 problem, x, p_corr, diff_params, need_h=True, need_ht=False
             )
+            if cjr:
+                # Modified Newton (strategy CJR, HCConfig): freeze Hx
+                # after the k-th full corrector iterate -- the same map
+                # as the fused kernel's saved-factorization replay
+                # (ops/fused._resolve_rhs / _reduce_resolve_rhs).
+                hx = jnp.where(i < cjr, hx, hx0)
             dx = solve(hx, h)
             x_new = jnp.where(done[:, None], x, x - dx)
             sq_dx = jnp.sum(
@@ -195,19 +208,21 @@ def make_step_fn(
             success = jnp.where(done, success, succ_i)
             inf = jnp.where(done, inf, inf_i)
             done = done | success | inf
-            return x_new, success, inf, done
+            out = (x_new, success, inf, done)
+            return out + (hx,) if cjr else out
 
-        x_corr, success, inf_now, _ = jax.lax.fori_loop(
-            0,
-            cfg.max_correction_steps,
-            corr_body,
-            (
-                x_pred,
-                jnp.zeros(x0.shape[:1], bool),
-                jnp.zeros(x0.shape[:1], bool),
-                jnp.zeros(x0.shape[:1], bool),
-            ),
+        nv = x0.shape[1]
+        flags0 = (
+            jnp.zeros(x0.shape[:1], bool),
+            jnp.zeros(x0.shape[:1], bool),
+            jnp.zeros(x0.shape[:1], bool),
         )
+        carry0 = (x_pred,) + flags0 + (
+            (jnp.zeros((x0.shape[0], nv, nv), x0.dtype),) if cjr else ()
+        )
+        x_corr, success, inf_now = jax.lax.fori_loop(
+            0, cfg.max_correction_steps, corr_body, carry0
+        )[:3]
 
         # --- outcome bookkeeping (:252-276) ---
         inf_fail = s.inf_fail | (active & inf_now)

@@ -40,7 +40,11 @@ class HCConfig:
     kernel constants in kernel_GPUHC_trifocal_2op1p_30x30_PH_CodeOpt_TrunPaths.cu)."""
 
     max_steps: int = 80                 # GPUHC_Max_Steps
-    max_correction_steps: int = 3       # GPUHC_Max_Correction_Steps
+    # GPUHC_Max_Correction_Steps; env override TPUHC_MCS (campaign
+    # tooling: CJR replays extra iterations nearly for free, so A/Bs
+    # pair TPUHC_CJR=k with TPUHC_MCS=k+1..).
+    max_correction_steps: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPUHC_MCS", "3")))
     steps_to_increase_delta_t: int = 4  # GPUHC_Num_Of_Steps_to_Increase_Delta_t
     init_delta_t: float = 0.01          # kernel ...TrunPaths.cu:79 (delta_t = 0.01)
     end_zone_factor: float = 0.0500001  # ...TrunPaths.cu:147 (end-zone radius)
@@ -58,6 +62,26 @@ class HCConfig:
     # convergence statistics) can shift. Our strategy beyond the
     # reference's four (README.md:5); validated against the exact-RK4 mode.
     rk_jacobian_reuse: bool = False
+    # (CJR) modified-Newton corrector: run k full Newton iterations
+    # (evaluate + factor Hx), then re-apply the LAST full iteration's
+    # factorization to later iterations' H right-hand sides
+    # (ops/fused._resolve_rhs / _reduce_resolve_rhs) -- no Hx gather,
+    # no assembly, no forward elimination on those.  0 disables (all
+    # iterations full Newton, the reference semantics).  Unlike the
+    # rejected frozen-Jacobian RK stages (which bias the PREDICTION and
+    # collapsed convergence 2394 -> 277), this only slows the
+    # corrector's contraction from quadratic to linear on the SAME
+    # fixed point H(x, t_c) = 0 -- accepted roots satisfy the identical
+    # tolerance; only whether a path passes it within
+    # max_correction_steps (hence step counts / conv stats) can shift.
+    # MEASURED (CPU oracle, view 0, H=16): k=1 degrades badly (conv
+    # 1634 -> 1196, inf 1048 -> 2188 trun-off) -- the first iterate's
+    # Jacobian diverges marginal paths; k=2 replays only the final
+    # iteration with a near-converged Jacobian.  Gate adoption on
+    # convergence statistics.  Env override TPUHC_CJR=<k> for campaign
+    # A/B without code edits.
+    corrector_jacobian_reuse: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPUHC_CJR", "0")))
     # Evaluator matmul mode on TPU: "split3" computes every constant matmul
     # as three 1-pass bf16 products of an exact f32 = hi+lo1+lo2 split
     # (exact to f32 final rounding, ~2x faster than Precision.HIGHEST,
@@ -97,7 +121,11 @@ class HCConfig:
     # dead rows removed); "schedule" = the 30-stage static schedule
     # (required by rk_jacobian_reuse, and the fallback when a problem's
     # pattern has no kernel-supported condensation).
-    solver: str = "reduced"
+    # Env override TPUHC_SOLVER (campaign tooling: required by the
+    # factorization-saving strategies until the reduced path learns to
+    # save/replay -- see _solve's assert).
+    solver: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("TPUHC_SOLVER", "reduced"))
     # Fused-kernel paths per grid tile.  Per-path kernel cost is flat from
     # 256 down to 128 (microbench), but END-TO-END rounds are ~10% faster
     # at 128 (556 -> 498 ms at H=100 on v5e): whole-tile early exit
