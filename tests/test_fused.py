@@ -188,6 +188,31 @@ def test_structure_tracker_matches_classic(problem, hc, workload,
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("pred", ["rk3", "rk2"])
+def test_predictor_tracker_matches_oracle(problem, hc, workload, pred):
+    """Lower-order predictors (HCConfig.predictor): fused kernel vs the
+    XLA oracle must agree flag-for-flag, pinning the kernel-side stage
+    wiring before a TPU campaign spends time on it (adoption itself is
+    gated on convergence statistics, like every step-semantics change).
+    """
+    x0, tgt_b, diff_b, _ = workload
+    hc_p = dataclasses.replace(hc, predictor=pred)
+    ro = tracker.make_track_fn(problem, hc_p)(x0, tgt_b, diff_b)
+    rf = fused.make_track_fn(problem, hc_p, tile=_TILE, interpret=True)(
+        x0, tgt_b, diff_b
+    )
+    assert (rf.num_steps == ro.num_steps).all()
+    assert (rf.converged == ro.converged).all()
+    assert (rf.pruned == ro.pruned).all()
+    assert (rf.inf_fail == ro.inf_fail).all()
+    live = ~ro.pruned & ~ro.inf_fail
+    assert live.any()
+    rel = np.abs(rf.x[live] - ro.x[live]).max() / max(
+        np.abs(ro.x[live]).max(), 1.0)
+    assert rel < 1e-3
+
+
+@pytest.mark.slow
 def test_cjr_tracker_matches_oracle(problem, hc, workload):
     """Modified-Newton corrector (CJR, HCConfig): fused kernel vs oracle.
 

@@ -1648,14 +1648,30 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
             xb = (x_re + half * k1[0], x_im + half * k1[1])
             _fill_P(c, prk, agq, tw(tb), rk=True)
             k2 = stage(xb)
-            xc = (x_re + half * k2[0], x_im + half * k2[1])
-            k3 = stage(xc)
-            xd = (x_re + dtc * k3[0], x_im + dtc * k3[1])
-            _fill_P(c, prk, agq, tw(tc), rk=True)
-            k4 = stage(xd)
-            sixth = dtc / 6.0
-            cur_re = x_re + sixth * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
-            cur_im = x_im + sixth * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
+            if cfg.predictor == "rk2":
+                # Midpoint predictor (HCConfig.predictor): 2 stages.
+                cur_re = x_re + dtc * k2[0]
+                cur_im = x_im + dtc * k2[1]
+            elif cfg.predictor == "rk3":
+                # Kutta's third-order rule: 3 stages.
+                xe3 = (x_re - dtc * k1[0] + 2.0 * dtc * k2[0],
+                       x_im - dtc * k1[1] + 2.0 * dtc * k2[1])
+                _fill_P(c, prk, agq, tw(tc), rk=True)
+                k3 = stage(xe3)
+                sixth = dtc / 6.0
+                cur_re = x_re + sixth * (k1[0] + 4.0 * k2[0] + k3[0])
+                cur_im = x_im + sixth * (k1[1] + 4.0 * k2[1] + k3[1])
+            else:
+                xc = (x_re + half * k2[0], x_im + half * k2[1])
+                k3 = stage(xc)
+                xd = (x_re + dtc * k3[0], x_im + dtc * k3[1])
+                _fill_P(c, prk, agq, tw(tc), rk=True)
+                k4 = stage(xd)
+                sixth = dtc / 6.0
+                cur_re = x_re + sixth * (
+                    k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
+                cur_im = x_im + sixth * (
+                    k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
 
             # Newton corrector at frozen t_c (:216-250): state lives in
             # scratch refs so iterations after the first run under a

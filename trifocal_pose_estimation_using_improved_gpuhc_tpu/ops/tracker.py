@@ -158,17 +158,33 @@ def make_step_fn(
         hx, _, mht = evaluate(x0, t_a, target_params, diff_params, False, True)
         k1 = solve(hx, mht)
         t_b = t_a + half
+        t_c = t_b + half
         x_b = x0 + halfc * k1
         hx, _, mht = evaluate(x_b, t_b, target_params, diff_params, False, True)
         k2 = solve(hx, mht)
-        x_c = x0 + halfc * k2
-        hx, _, mht = evaluate(x_c, t_b, target_params, diff_params, False, True)
-        k3 = solve(hx, mht)
-        t_c = t_b + half
-        x_d = x0 + dtc * k3
-        hx, _, mht = evaluate(x_d, t_c, target_params, diff_params, False, True)
-        k4 = solve(hx, mht)
-        x_pred = x0 + dtc / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        if cfg.predictor == "rk2":
+            # Midpoint method: one evaluate+solve fewer than RK3.
+            x_pred = x0 + dtc * k2
+        elif cfg.predictor == "rk3":
+            # Kutta's third-order rule (see HCConfig.predictor).
+            x_e = x0 - dtc * k1 + 2.0 * dtc * k2
+            hx, _, mht = evaluate(
+                x_e, t_c, target_params, diff_params, False, True
+            )
+            k3 = solve(hx, mht)
+            x_pred = x0 + dtc / 6.0 * (k1 + 4.0 * k2 + k3)
+        else:
+            x_c = x0 + halfc * k2
+            hx, _, mht = evaluate(
+                x_c, t_b, target_params, diff_params, False, True
+            )
+            k3 = solve(hx, mht)
+            x_d = x0 + dtc * k3
+            hx, _, mht = evaluate(
+                x_d, t_c, target_params, diff_params, False, True
+            )
+            k4 = solve(hx, mht)
+            x_pred = x0 + dtc / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
         # --- Newton corrector (:216-250), param homotopy frozen at t_c ---
         start = (

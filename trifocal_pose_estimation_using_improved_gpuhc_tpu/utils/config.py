@@ -62,6 +62,17 @@ class HCConfig:
     # convergence statistics) can shift. Our strategy beyond the
     # reference's four (README.md:5); validated against the exact-RK4 mode.
     rk_jacobian_reuse: bool = False
+    # Predictor order ("rk4" | "rk3" | "rk2"): the reference always runs
+    # classic RK4 (...TrunPaths.cu:170-211).  Each stage below RK4
+    # removes one full evaluate+factor+solve from every HC step (the
+    # dominant per-step cost), at the price of a lower-order prediction
+    # (RK3: Kutta's third-order; RK2: midpoint) -- the Newton corrector
+    # still polishes to the same tolerance, so accepted roots are
+    # identical; only corrector failure rates / dt adaptation / conv
+    # stats can shift.  Gate adoption on convergence statistics like
+    # every step-semantics change.  Env override TPUHC_PREDICTOR.
+    predictor: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("TPUHC_PREDICTOR", "rk4"))
     # (CJR) modified-Newton corrector: run k full Newton iterations
     # (evaluate + factor Hx), then re-apply the LAST full iteration's
     # factorization to later iterations' H right-hand sides
