@@ -70,7 +70,8 @@ def main():
         refv = "272 / 5 / 495" if trun else "11098 / 521 / 6577"
         print(f"{which}: conv {stats.num_converged} real {stats.num_real} "
               f"inf {stats.num_infinity} pruned {int(res.pruned.sum())} "
-              f"of {H * T}   [reference sample: {refv}]")
+              f"of {H * T} steps {int(res.num_steps.sum())}   "
+              f"[reference sample: {refv}]")
 
 
 if __name__ == "__main__":
