@@ -65,6 +65,12 @@ def child_main():
         "value": round(paths_per_sec, 1),
         "unit": "paths/s",
         "vs_baseline": round(paths_per_sec / BASELINE_PATHS_PER_SEC, 4),
+        # Self-explaining extras: best round time over the 3 seeds and the
+        # path count it covers (value = round_paths / round_ms * 1e3), so
+        # future BENCH_r*.json can be reconciled against README tables
+        # without re-running (VERDICT r3 item 6).
+        "round_ms": round(best_ms, 2),
+        "round_paths": n_paths,
     }))
     return 0
 

@@ -44,7 +44,9 @@ def param_homotopy(
 
     t: (B,) float32; start: (P+1,); target: (B, P+1) -> (B, P+1) complex64.
     """
-    tc = t.astype(jnp.complex64)[..., None]
+    # Promote t to the parameter dtype so the float64 oracle (jax x64 on
+    # CPU, tools/f64_reconcile.py) keeps full precision end to end.
+    tc = t.astype(jnp.result_type(t.dtype, target_params.dtype))[..., None]
     return target_params * tc + start_params * (1.0 - tc)
 
 

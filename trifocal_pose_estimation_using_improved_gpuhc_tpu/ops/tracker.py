@@ -74,7 +74,9 @@ class TrackResult:
 
 def init_state(x0: jnp.ndarray, cfg: HCConfig) -> TrackerState:
     B = x0.shape[0]
-    f32 = jnp.float32
+    # Real dtype follows the solution dtype: f32 for the production
+    # complex64 path, f64 under the float64 oracle (tools/f64_reconcile.py).
+    f32 = jnp.float64 if x0.dtype == jnp.complex128 else jnp.float32
     return TrackerState(
         x=x0,
         x_last=x0,
@@ -150,9 +152,9 @@ def make_step_fn(
 
         # --- RK4 predictor (:170-211) ---
         x0 = s.x
-        half = (0.5 * dt).astype(jnp.float32)
-        dtc = dt.astype(jnp.complex64)[:, None]
-        halfc = half.astype(jnp.complex64)[:, None]
+        half = 0.5 * dt
+        dtc = dt.astype(x0.dtype)[:, None]
+        halfc = half.astype(x0.dtype)[:, None]
 
         t_a = s.t
         hx, _, mht = evaluate(x0, t_a, target_params, diff_params, False, True)
@@ -280,7 +282,7 @@ def make_step_fn(
 
 
 def make_track_fn(problem: TrifocalProblem, cfg: HCConfig, solve=linalg.solve_batched,
-                  dynamic_start: bool = False):
+                  dynamic_start: bool = False, dtype=np.float32):
     """Build the jitted path-tracking function for a problem.
 
     Returned fn(x0 (B, V) c64, target_params (B, P+1), diff_params (B, P+1))
@@ -323,7 +325,7 @@ def make_track_fn(problem: TrifocalProblem, cfg: HCConfig, solve=linalg.solve_ba
         x0 = np.asarray(x0)
         tgt = np.asarray(target_params)
         diff = np.asarray(diff_params)
-        f32 = np.float32
+        f32 = dtype
         xr, xi, conv, inf, pruned, steps = _track_planes(
             x0.real.astype(f32),
             x0.imag.astype(f32),
@@ -334,7 +336,7 @@ def make_track_fn(problem: TrifocalProblem, cfg: HCConfig, solve=linalg.solve_ba
         )
         x = np.asarray(xr) + 1j * np.asarray(xi)
         return TrackResult(
-            x=x.astype(np.complex64),
+            x=x.astype(np.complex128 if dtype == np.float64 else np.complex64),
             converged=np.asarray(conv),
             inf_fail=np.asarray(inf),
             pruned=np.asarray(pruned),
