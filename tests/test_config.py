@@ -39,3 +39,19 @@ def test_cjr_and_solver_env_overrides(monkeypatch):
     monkeypatch.delenv("TPUHC_CJR")
     monkeypatch.delenv("TPUHC_SOLVER")
     assert HCConfig().corrector_jacobian_reuse == 0
+
+
+def test_num_of_cores_yaml_key(tmp_path):
+    """Num_Of_Cores (gpuhc_settings.yaml:34) is parsed and recorded; the
+    CPU oracle's parallelism itself is the XLA CPU runtime's thread pool
+    (the OpenMP pool it replaces: CPU_HC_Solver.cpp:232-239)."""
+    from trifocal_pose_estimation_using_improved_gpuhc_tpu.utils.config import (
+        load_problem_yaml,
+    )
+
+    p = tmp_path / "gpuhc_settings.yaml"
+    p.write_text("%YAML:1.0\nNum_Of_Cores: 12\n")
+    cfg = load_problem_yaml(str(p))
+    assert cfg.num_cpu_cores == 12
+    p.write_text("%YAML:1.0\nNum_Of_Vars: 30\n")
+    assert load_problem_yaml(str(p)).num_cpu_cores is None

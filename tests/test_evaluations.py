@@ -149,3 +149,17 @@ def test_min_residuals_over_sols():
         np.zeros((0, 3)), gt21, gt31, rc,
     )
     assert pe3.rot21 == 100.0 and not ok3
+
+
+def test_format_gt_deviation_identity_pose():
+    """format_gt_deviation (Check_Deviations_of_Veridical_Sol_from_GT,
+    Evaluations.cpp:267-296): exact pose -> zero residuals, and the report
+    carries GT + solution translations side by side."""
+    r = np.eye(3, dtype=np.float32)
+    t = np.array([3.0, 0.0, 4.0], np.float32)
+    gt = np.concatenate([r, t[:, None]], axis=1)
+    rep = evl.format_gt_deviation(r, r, t, 2 * t, gt, gt)
+    assert "GT translation_21 = (0.6, 0, 0.8)" in rep
+    assert "Sol translation_21 = (0.6, 0, 0.8)" in rep
+    assert "(R21) 0 (R31) 0" in rep
+    assert "(t21) 0 (t31) 0" in rep

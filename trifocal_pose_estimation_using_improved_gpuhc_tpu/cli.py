@@ -66,6 +66,10 @@ def main(argv=None) -> int:
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the timed "
                          "rounds into DIR (view with tensorboard/xprof)")
+    ap.add_argument("--debug-gt-deviation", action="store_true",
+                    help="print the best pose's GT-deviation report per "
+                         "round (Check_Deviations_of_Veridical_Sol_from_GT, "
+                         "Evaluations.cpp:267-296)")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -177,6 +181,9 @@ def main(argv=None) -> int:
                     )
                     err_lines.append(pe)
                 print(line)
+                if args.debug_gt_deviation and rr.best_pose is not None:
+                    print(evl.format_gt_deviation(
+                        *rr.best_pose, view.gt_pose21, view.gt_pose31))
 
     ts = evl.timing_summary(timings)
     n_rounds = len(timings)

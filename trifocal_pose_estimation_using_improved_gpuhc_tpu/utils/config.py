@@ -179,6 +179,12 @@ class EngineConfig:
     data_root: str = DEFAULT_DATA_ROOT
     output_dir: str = "Output_Write_Files"
     num_devices: Optional[int] = None  # None = all visible devices
+    # Num_Of_Cores (gpuhc_settings.yaml:34): the reference pins its CPU-HC
+    # OpenMP thread count (CPU_HC_Solver.cpp); here the CPU oracle is a
+    # single jitted XLA program whose thread pool is managed by the XLA CPU
+    # runtime, so the key is parsed for config parity and recorded, but the
+    # degree of parallelism is XLA's. None = "not set in the YAML".
+    num_cpu_cores: Optional[int] = None
 
 
 def problem_dir(cfg: EngineConfig) -> str:
@@ -233,7 +239,9 @@ def load_problem_yaml(path: str) -> EngineConfig:
     # Num_Of_GPUs (gpuhc_settings.yaml:9) maps to the hypothesis-mesh device
     # count (parallel/mesh.py); 1 keeps the single-chip path.
     ndev = int(doc.get("Num_Of_GPUs", 1))
+    cores = doc.get("Num_Of_Cores")
     return EngineConfig(
         problem=prob, hc=hc, ransac=ransac,
         num_devices=ndev if ndev > 1 else None,
+        num_cpu_cores=int(cores) if cores is not None else None,
     )

@@ -227,6 +227,43 @@ def measure_pose_error(
     )
 
 
+def format_gt_deviation(
+    r21: np.ndarray,
+    r31: np.ndarray,
+    t21: np.ndarray,
+    t31: np.ndarray,
+    gt_pose21: np.ndarray,
+    gt_pose31: np.ndarray,
+) -> str:
+    """GT-deviation debug report for one (veridical) solution.
+
+    Equivalent of Check_Deviations_of_Veridical_Sol_from_GT
+    (Evaluations.cpp:267-296, driven under DEBUG_EARLY_RANSAC_ABORT,
+    GPU_HC_Solver.cpp:462-480): prints the normalised GT and solution
+    translations side by side plus all four rotation/translation residuals,
+    so a device-selected abort pose can be eyeballed against ground truth.
+    """
+    _, gt21 = decompose_gt_pose(gt_pose21)
+    _, gt31 = decompose_gt_pose(gt_pose31)
+    n21 = t21 / np.linalg.norm(t21)
+    n31 = t31 / np.linalg.norm(t31)
+    pe = measure_pose_error(r21, r31, t21, t31, gt_pose21, gt_pose31)
+
+    def v(x):
+        return f"({x[0]:.6g}, {x[1]:.6g}, {x[2]:.6g})"
+
+    return (
+        f"GT translation_21 = {v(gt21)}\n"
+        f"GT translation_31 = {v(gt31)}\n"
+        f"Sol translation_21 = {v(n21)}\n"
+        f"Sol translation_31 = {v(n31)}\n"
+        f"Residuals in Rotations:    (R21) {pe.rot21:.6g} "
+        f"(R31) {pe.rot31:.6g}\n"
+        f"Residuals in Translations: (t21) {pe.transl21:.6g} "
+        f"(t31) {pe.transl31:.6g}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Output writers (reference D6 formats).
 # ---------------------------------------------------------------------------
