@@ -317,3 +317,33 @@ def test_eval_core_variants(problem):
         # Fold output rows between nnz..nzp and beyond n are structural
         # zeros (padding rows of the block-diagonal fold).
         assert bool((hxm[c.nnz: c.nzp] == 0.0).all())
+
+
+@pytest.mark.slow
+def test_cph_tracker_matches_oracle(problem, hc, workload):
+    """Corrector->predictor factorization handoff (CPH, HCConfig
+    predictor_handoff): fused kernel vs oracle.
+
+    On every step whose predecessor advanced all lanes, stage 1 replays
+    the corrector's saved factorization on the fresh -Ht rhs (kernel) /
+    solves against the saved Hx matrix (oracle) -- the same modified
+    predictor through different algorithms.  The handoff condition is
+    batch == tile here, so flags/step counts must agree exactly, like
+    the CJR parity test.  Pins the kernel wiring (branch scheduling,
+    save/replay slot reuse, cont[1] lifecycle) before TPU time is spent.
+    """
+    x0, tgt_b, diff_b, _ = workload
+    hc_h = dataclasses.replace(hc, predictor_handoff=True)
+    ro = tracker.make_track_fn(problem, hc_h)(x0, tgt_b, diff_b)
+    rf = fused.make_track_fn(problem, hc_h, tile=_TILE, interpret=True)(
+        x0, tgt_b, diff_b
+    )
+    assert (rf.num_steps == ro.num_steps).all()
+    assert (rf.converged == ro.converged).all()
+    assert (rf.pruned == ro.pruned).all()
+    assert (rf.inf_fail == ro.inf_fail).all()
+    live = ~ro.pruned & ~ro.inf_fail
+    assert live.any()
+    rel = np.abs(rf.x[live] - ro.x[live]).max() / max(
+        np.abs(ro.x[live]).max(), 1.0)
+    assert rel < 1e-3

@@ -1279,7 +1279,8 @@ def _reduce_backsub(c: FusedConstants, sv_re, sv_im, xe_re, xe_im, T: int):
 
 
 def _resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
-                 rr_re, rr_im, xe_re, xe_im, rhs, T: int):
+                 rr_re, rr_im, xe_re, xe_im, rhs, T: int,
+                 backsub: bool = True):
     """Re-apply a saved factorization to a new rhs, then back-substitute.
 
     Forward pass: replay each step's pivot one-hot + multipliers on the rhs
@@ -1314,11 +1315,16 @@ def _resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
             off += w_r
         sv_re[s, n:n + 1] = pr
         sv_im[s, n:n + 1] = pi
+    # backsub=False leaves sv backsub-ready without solving (the CPH
+    # stage-1 branch calls the shared backsub outside its pl.when).
+    if not backsub:
+        return None
     return _backsub(c, sv_re, sv_im, xe_re, xe_im, T)
 
 
 def _reduce_resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
-                        rr_re, rr_im, xe_re, xe_im, rhs, T: int):
+                        rr_re, rr_im, xe_re, xe_im, rhs, T: int,
+                        backsub: bool = True):
     """Re-apply a saved CONDENSED factorization to a new rhs + backsub.
 
     Mirrors _reduce_forward's read/write sequence on the rhs vector
@@ -1427,6 +1433,8 @@ def _reduce_resolve_rhs(c: FusedConstants, sv_re, sv_im, foh, ffr, ffi,
             off += w_r
         sv_re[co + s, n:n + 1] = pr
         sv_im[co + s, n:n + 1] = pi
+    if not backsub:
+        return None
     return _reduce_backsub(c, sv_re, sv_im, xe_re, xe_im, T)
 
 
@@ -1463,11 +1471,16 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
          m_sc, sv_re, sv_im, used, xe_re, xe_im,
          agq, prk, pco, cw_re, cw_im, cfl,
          *rkj_and_cont) = rest[nconst:]
-        if cfg.rk_jacobian_reuse or cfg.corrector_jacobian_reuse:
+        if (cfg.rk_jacobian_reuse or cfg.corrector_jacobian_reuse
+                or cfg.predictor_handoff):
             foh, ffr, ffi, rr_re, rr_im, cont = rkj_and_cont
         else:
             (cont,) = rkj_and_cont
             foh = ffr = ffi = rr_re = rr_im = None
+        if cfg.predictor_handoff and cfg.rk_jacobian_reuse:
+            raise ValueError(
+                "predictor_handoff and rk_jacobian_reuse share the saved-"
+                "factorization slots; enable at most one")
         if merged:
             ohx23, ohq23, ohg, fold_h, fold_t = cr
             consts_f = (ohx23[:], ohg[:], fold_h[:], fold_t[:])
@@ -1543,6 +1556,11 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
             * (1.0 - fl0[_F_PRN:_F_PRN + 1])
         )
         cont[0] = jnp.max(act0).astype(jnp.int32)
+        if cfg.predictor_handoff:
+            # No saved factorization exists at (re)launch: scratch does not
+            # persist across segment launches, so the first step of every
+            # segment runs the full stage-1 eval + elimination.
+            cont[1] = 0
 
         def one_step():
             ones = jnp.ones((1, T), jnp.float32)
@@ -1642,6 +1660,39 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 k1 = es((x_re, x_im), prk, False, rk=True,
                         save=(foh, ffr, ffi))
                 stage = lambda x: es_rhs(x)
+            elif cfg.predictor_handoff:
+                # (CPH, HCConfig.predictor_handoff) stage 1: when the
+                # previous step advanced every lane (cont[1], set below),
+                # evaluate only -Ht and replay the corrector's saved
+                # factorization; otherwise the full eval + elimination.
+                # Both branches leave sv backsub-ready; the shared
+                # backsub runs outside the predicated regions.
+                @pl.when(cont[1] == 1)
+                def _():
+                    _, rhs = eval_fn(
+                        c, consts, prk[:], _wide((x_re, x_im)), T, False,
+                        need_hx=False, **dots_rk
+                    )
+                    replay_fn(
+                        c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im,
+                        xe_re, xe_im, rhs, T, backsub=False
+                    )
+
+                @pl.when(cont[1] == 0)
+                def _():
+                    hx, rhs = eval_fn(
+                        c, consts, prk[:], _wide((x_re, x_im)), T, False,
+                        **dots_rk
+                    )
+                    _assemble(c, m_sc, hx, rhs, T)
+                    if c.reduced is not None:
+                        _reduce_forward(c, m_sc, sv_re, sv_im, used, T)
+                    else:
+                        _eliminate(c, m_sc, sv_re, sv_im, used, T)
+
+                k1 = (_reduce_backsub if c.reduced is not None
+                      else _backsub)(c, sv_re, sv_im, xe_re, xe_im, T)
+                stage = lambda x: es(x, prk, False, rk=True)
             else:
                 k1 = es((x_re, x_im), prk, False, rk=True)
                 stage = lambda x: es(x, prk, False, rk=True)
@@ -1704,7 +1755,8 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 else:
                     dx = es(
                         (cw_re[:], cw_im[:]), pco, True,
-                        save=((foh, ffr, ffi) if cjr else None),
+                        save=((foh, ffr, ffi)
+                              if (cjr or cfg.predictor_handoff) else None),
                     )
                 live = 1.0 - donef_l
                 nr = cw_re[:] - live * dx[0]
@@ -1739,6 +1791,13 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
             failf = okf * (1.0 - successf)
             goodf = okf * successf
             takec = jnp.maximum(goodf, inf_hitf)
+
+            if cfg.predictor_handoff:
+                # Handoff validity for the NEXT step: no lane rolled back
+                # (failed lanes revert x and t, invalidating the saved
+                # factorization; infinity lanes go inactive and don't
+                # block).  Tile-granular by construction.
+                cont[1] = (jnp.max(failf) < 0.5).astype(jnp.int32)
 
             old_re = xo_re[:]
             old_im = xo_im[:]
@@ -1863,10 +1922,12 @@ def build_kernel_caller(
             pltpu.VMEM((n, tile), jnp.float32),         # cw_im
             pltpu.VMEM((3, tile), jnp.float32),         # cfl
         ]
-        if cfg.rk_jacobian_reuse or cfg.corrector_jacobian_reuse:
+        if (cfg.rk_jacobian_reuse or cfg.corrector_jacobian_reuse
+                or cfg.predictor_handoff):
             # Saved pivot one-hots + multipliers + rhs-replay workspace for
             # the frozen-Jacobian RK ablation / the modified-Newton
-            # corrector (ops/fused._resolve_rhs).
+            # corrector / the corrector->predictor handoff
+            # (ops/fused._resolve_rhs).
             scratch += [
                 pltpu.VMEM((n, n, tile), jnp.float32),
                 pltpu.VMEM((n, n, tile), jnp.float32),
@@ -1874,7 +1935,7 @@ def build_kernel_caller(
                 pltpu.VMEM((n, tile), jnp.float32),
                 pltpu.VMEM((n, tile), jnp.float32),
             ]
-        scratch += [pltpu.SMEM((1,), jnp.int32)]  # cont
+        scratch += [pltpu.SMEM((2,), jnp.int32)]  # cont / handoff-valid
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [_tile_spec(n)] * 4

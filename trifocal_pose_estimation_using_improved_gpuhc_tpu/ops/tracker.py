@@ -123,9 +123,17 @@ def make_step_fn(
             problem, x, p, diff_params, need_h=need_h, need_ht=need_ht
         )
 
+    cph = bool(cfg.predictor_handoff)
+
     def step_fn(
-        s: TrackerState, target_params: jnp.ndarray, diff_params: jnp.ndarray
-    ) -> TrackerState:
+        s: TrackerState, target_params: jnp.ndarray, diff_params: jnp.ndarray,
+        extras=None,
+    ):
+        """One masked HC step.  With cfg.predictor_handoff, ``extras`` is
+        (hx_save (B, n, n), hov ()) -- the corrector factorization saved by
+        the previous step and whether EVERY lane advanced (the kernel's
+        tile-granular condition, applied batch-wide here) -- and the
+        return value is (state', extras')."""
         active = _active(s, cfg)
 
         # --- end-zone flag (...TrunPaths.cu:147) ---
@@ -158,6 +166,13 @@ def make_step_fn(
 
         t_a = s.t
         hx, _, mht = evaluate(x0, t_a, target_params, diff_params, False, True)
+        if cph:
+            # (CPH, HCConfig.predictor_handoff) stage 1 reuses the previous
+            # step's corrector factorization when every lane advanced; the
+            # kernel replays the saved factorization on the fresh -Ht rhs,
+            # the oracle equivalently solves against the saved Hx matrix.
+            hx_save, hov = extras
+            hx = jnp.where(hov, hx_save, hx)
         k1 = solve(hx, mht)
         t_b = t_a + half
         t_c = t_b + half
@@ -196,11 +211,12 @@ def make_step_fn(
         p_corr = ev.param_homotopy(t_c, start, target_params)
 
         cjr = int(cfg.corrector_jacobian_reuse)
+        track_hx = bool(cjr) or cph
 
         def corr_body(i, carry):
-            # The Hx carry exists only under CJR: a dead (B, n, n) loop
+            # The Hx carry exists only under CJR/CPH: a dead (B, n, n) loop
             # carry is real memory traffic on the CPU tracker otherwise.
-            if cjr:
+            if track_hx:
                 x, success, inf, done, hx0 = carry
             else:
                 x, success, inf, done = carry
@@ -227,7 +243,7 @@ def make_step_fn(
             inf = jnp.where(done, inf, inf_i)
             done = done | success | inf
             out = (x_new, success, inf, done)
-            return out + (hx,) if cjr else out
+            return out + (hx,) if track_hx else out
 
         nv = x0.shape[1]
         flags0 = (
@@ -236,11 +252,12 @@ def make_step_fn(
             jnp.zeros(x0.shape[:1], bool),
         )
         carry0 = (x_pred,) + flags0 + (
-            (jnp.zeros((x0.shape[0], nv, nv), x0.dtype),) if cjr else ()
+            (jnp.zeros((x0.shape[0], nv, nv), x0.dtype),) if track_hx else ()
         )
-        x_corr, success, inf_now = jax.lax.fori_loop(
+        corr_out = jax.lax.fori_loop(
             0, cfg.max_correction_steps, corr_body, carry0
-        )[:3]
+        )
+        x_corr, success, inf_now = corr_out[:3]
 
         # --- outcome bookkeeping (:252-276) ---
         inf_fail = s.inf_fail | (active & inf_now)
@@ -264,7 +281,7 @@ def make_step_fn(
         new_dt = jnp.where(active, new_dt, s.dt)
         succ_count = jnp.where(bump, 0, succ_count)
 
-        return TrackerState(
+        new_s = TrackerState(
             x=new_x,
             x_last=new_x_last,
             t=new_t,
@@ -277,6 +294,15 @@ def make_step_fn(
             num_steps=s.num_steps + active.astype(jnp.int32),
             step=s.step + 1,
         )
+        if cph:
+            # Handoff validity: NO lane rolled back this step (the kernel's
+            # tile-wide max(failf) == 0; infinity-failed lanes go inactive
+            # and do not block).  The saved Hx is the last corrector
+            # iteration's evaluation point -- lanes done earlier keep x
+            # frozen, so their entry equals the factorization at their
+            # final x exactly, matching the kernel's last-executed save.
+            return new_s, (corr_out[4], ~jnp.any(fail))
+        return new_s
 
     return step_fn
 
@@ -303,13 +329,30 @@ def make_track_fn(problem: TrifocalProblem, cfg: HCConfig, solve=linalg.solve_ba
         diff_params = jax.lax.complex(diff_re, diff_im)
         s0 = init_state(x0, cfg)
 
-        def cond(s: TrackerState):
-            return (s.step <= cfg.max_steps) & jnp.any(_active(s, cfg))
+        if cfg.predictor_handoff:
+            nv = x0.shape[1]
+            extras0 = (
+                jnp.zeros((x0.shape[0], nv, nv), x0.dtype),
+                jnp.zeros((), bool),
+            )
 
-        def body(s: TrackerState):
-            return step_fn(s, target_params, diff_params)
+            def cond(c):
+                s = c[0]
+                return (s.step <= cfg.max_steps) & jnp.any(_active(s, cfg))
 
-        s = jax.lax.while_loop(cond, body, s0)
+            def body(c):
+                s, extras = c
+                return step_fn(s, target_params, diff_params, extras)
+
+            s = jax.lax.while_loop(cond, body, (s0, extras0))[0]
+        else:
+            def cond(s: TrackerState):
+                return (s.step <= cfg.max_steps) & jnp.any(_active(s, cfg))
+
+            def body(s: TrackerState):
+                return step_fn(s, target_params, diff_params)
+
+            s = jax.lax.while_loop(cond, body, s0)
         # Parity note: the reference sets the converge flag from t alone
         # (...TrunPaths.cu:283), independently of the infinity flag.
         return (

@@ -93,6 +93,21 @@ class HCConfig:
     # A/B without code edits.
     corrector_jacobian_reuse: int = dataclasses.field(
         default_factory=lambda: int(os.environ.get("TPUHC_CJR", "0")))
+    # (CPH) corrector->predictor factorization handoff: when EVERY lane
+    # of a tile that was active in the previous HC step advanced (no
+    # corrector rollback), the next step's RK stage 1 evaluates only
+    # -Ht and replays the corrector's saved factorization instead of a
+    # fresh Hx gather + assembly + forward elimination.  Stage 1 then
+    # runs with a Jacobian whose staleness is the FINAL Newton update of
+    # the previous step (||dx|| < 1e-3 ||x|| by the corrector's success
+    # test) evaluated at the SAME t -- orders of magnitude tighter than
+    # the rejected frozen-Jacobian RK stages (staleness ~ dt*k1, conv
+    # 2394 -> 277) or CJR=1 (first-iterate distance, conv -27%).  The
+    # handoff condition is tile-granular in the kernel (the oracle
+    # applies it batch-wide; parity tests use one tile).  Gate adoption
+    # on convergence statistics.  Env override TPUHC_CPH=1.
+    predictor_handoff: bool = dataclasses.field(
+        default_factory=lambda: bool(int(os.environ.get("TPUHC_CPH", "0"))))
     # Evaluator matmul mode on TPU: "split3" computes every constant matmul
     # as three 1-pass bf16 products of an exact f32 = hi+lo1+lo2 split
     # (exact to f32 final rounding, ~2x faster than Precision.HIGHEST,
