@@ -132,6 +132,13 @@ def main(argv=None) -> int:
     engine.run_round(view0, seed=0, num_hypotheses=args.hypotheses)  # compile
 
     if args.stream:
+        # Stream mode keeps scoring + selection on device (one 156 B d2h
+        # per view); per-path HC step counts never come back to the host,
+        # so the *HC_Steps_of_Actual_Solutions.txt writers have nothing to
+        # serve (engine.py RoundResult.num_steps is empty under stream).
+        print("[stream] note: per-path HC step counts stay on device in "
+              "stream mode; HC-steps output files will be empty (use a "
+              "non-stream run for them)")
         vis = list(range(args.start_view, args.start_view + args.views))
         results, vps = engine.run_stream(vis, num_hypotheses=args.hypotheses)
         ok = sum(1 for r in results
