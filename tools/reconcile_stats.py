@@ -72,6 +72,20 @@ def main():
               f"inf {stats.num_infinity} pruned {int(res.pruned.sum())} "
               f"of {H * T} steps {int(res.num_steps.sum())}   "
               f"[reference sample: {refv}]")
+        # Residue diagnostics for the 31-vs-521 "real"-count question
+        # (tools/f64_reconcile.py found the f32 ORACLE counts 659 real
+        # at the 1e-4 cliff -- in line with the reference CPU's 521 --
+        # so any deficit here is kernel numerics, not the cliff itself):
+        # where do this tracker's converged solutions sit vs the cliff?
+        conv = res.converged
+        mi = np.abs(np.asarray(res.x).imag).max(axis=-1)
+        tols = (1e-5, 3e-5, 1e-4, 3e-4, 1e-3, 3e-3, 1e-2)
+        counts = {t: int((conv & (mi <= t)).sum()) for t in tols}
+        print(f"  real-count by imag tol: {counts}")
+        if conv.any():
+            q = np.percentile(mi[conv], [10, 25, 50, 75, 90])
+            print(f"  max|imag| over converged, p10/25/50/75/90: "
+                  + " ".join(f"{v:.3g}" for v in q))
 
 
 if __name__ == "__main__":

@@ -116,7 +116,11 @@ class HCConfig:
     # bits; the Newton corrector keeps the exact 3-term form) -- gate any
     # adoption on convergence statistics; "highest" is the plain
     # HIGHEST-precision path.  Interpret mode always uses plain f32.
-    eval_precision: str = "split3"
+    # Env override TPUHC_EVAL_PRECISION (campaign tooling: A/B "highest"
+    # vs "split3" when chasing imaginary-residue questions on hardware).
+    eval_precision: str = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "TPUHC_EVAL_PRECISION", "split3"))
     # Evaluator op structure ("classic" | "gathered" | "merged"):
     # "classic" issues the original 5 constant matmuls per evaluation;
     # "gathered" merges the two combo gathers into one (4 matmuls,
