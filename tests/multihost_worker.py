@@ -51,7 +51,10 @@ def main() -> int:
 
     cfg = EngineConfig()
     cfg = dataclasses.replace(
-        cfg, hc=dataclasses.replace(cfg.hc, max_steps=3, backend="xla")
+        # predictor_handoff off: the CPH condition is per-shard in the
+        # distributed program but batch-wide in the single-chip oracle.
+        cfg, hc=dataclasses.replace(cfg.hc, max_steps=3, backend="xla",
+                                    predictor_handoff=False)
     )
     problem = TrifocalProblem.load(cfg)
     mesh = pmesh.make_mesh()  # all 8 global devices

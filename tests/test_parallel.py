@@ -33,7 +33,11 @@ def test_sharded_track_matches_single_device(cfg, problem):
     import jax
 
     assert len(jax.devices()) == 8
-    hc = dataclasses.replace(cfg.hc, max_steps=12)  # keep CPU runtime small
+    # predictor_handoff off: its condition is granularity-dependent
+    # (batch-wide oracle vs per-shard), so sharded-vs-single parity
+    # only holds without it; CPH parity has its own one-tile test.
+    hc = dataclasses.replace(cfg.hc, max_steps=12,
+                             predictor_handoff=False)
     x0, tgt_b, diff_b, _ = _workload(cfg, problem, H=8, T=16)
 
     single = tracker.make_track_fn(problem, hc)
@@ -58,7 +62,8 @@ def test_sharded_track_matches_single_device(cfg, problem):
 @pytest.mark.slow
 def test_sharded_fused_kernel_matches_oracle(cfg, problem):
     """The PRODUCTION Pallas kernel under shard_map == the oracle tracker."""
-    hc = dataclasses.replace(cfg.hc, max_steps=8)
+    hc = dataclasses.replace(cfg.hc, max_steps=8,
+                             predictor_handoff=False)  # see above
     x0, tgt_b, diff_b, _ = _workload(cfg, problem, H=8, T=16)
 
     oracle = tracker.make_track_fn(problem, hc)
@@ -131,7 +136,8 @@ def test_engine_multidevice_round(cfg, problem):
     )
 
     base = dataclasses.replace(
-        cfg, hc=dataclasses.replace(cfg.hc, max_steps=12, backend="xla")
+        cfg, hc=dataclasses.replace(cfg.hc, max_steps=12, backend="xla",
+                                    predictor_handoff=False)  # see above
     )
     e1 = TrifocalPoseEngine(base)
     view = e1.load_view(0)

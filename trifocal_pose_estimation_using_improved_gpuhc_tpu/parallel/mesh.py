@@ -157,6 +157,36 @@ def make_sharded_track_fn(
             diff = jax.lax.complex(diff_re, diff_im)
             s0 = tracker.init_state(x0, cfg)
 
+            if cfg.predictor_handoff:
+                # CPH (HCConfig.predictor_handoff): thread the saved
+                # corrector factorization + shard-wide handoff flag, as
+                # in tracker.make_track_fn.  Per-SHARD granularity here
+                # (each device's block decides independently), mirroring
+                # the kernel's per-tile condition.
+                nv = x0.shape[1]
+                extras0 = (
+                    jnp.zeros((x0.shape[0], nv, nv), x0.dtype),
+                    jnp.zeros((), bool),
+                )
+
+                def cond(c):
+                    return (c[0].step <= cfg.max_steps) & jnp.any(
+                        tracker._active(c[0], cfg)
+                    )
+
+                def body(c):
+                    return step_fn(c[0], tgt, diff, c[1])
+
+                s = jax.lax.while_loop(cond, body, (s0, extras0))[0]
+                return (
+                    jnp.real(s.x),
+                    jnp.imag(s.x),
+                    tracker._is_converged(s.t, cfg),
+                    s.inf_fail,
+                    s.pruned,
+                    s.num_steps,
+                )
+
             def cond(s):
                 return (s.step <= cfg.max_steps) & jnp.any(
                     tracker._active(s, cfg)

@@ -104,10 +104,15 @@ class HCConfig:
     # the rejected frozen-Jacobian RK stages (staleness ~ dt*k1, conv
     # 2394 -> 277) or CJR=1 (first-iterate distance, conv -27%).  The
     # handoff condition is tile-granular in the kernel (the oracle
-    # applies it batch-wide; parity tests use one tile).  Gate adoption
-    # on convergence statistics.  Env override TPUHC_CPH=1.
+    # applies it batch-wide; parity tests use one tile).  ADOPTED as
+    # default in round 4: same-session v5e A/B step 82.30 vs 84.39
+    # us/iter/tile (tile=128), reconcile conv gate held within the
+    # session noise band (CPH 10659/31/6569 vs baseline anchor
+    # 10653/31/6568 trun-off; 2547 vs 2542 trun-on), bench 58014 vs
+    # 57707 paths/s.  TPUHC_CPH=0 restores the reference's
+    # fresh-Jacobian stage 1.
     predictor_handoff: bool = dataclasses.field(
-        default_factory=lambda: bool(int(os.environ.get("TPUHC_CPH", "0"))))
+        default_factory=lambda: bool(int(os.environ.get("TPUHC_CPH", "1"))))
     # Evaluator matmul mode on TPU: "split3" computes every constant matmul
     # as three 1-pass bf16 products of an exact f32 = hi+lo1+lo2 split
     # (exact to f32 final rounding, ~2x faster than Precision.HIGHEST,
