@@ -72,7 +72,8 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
             tval = 0.31 + i.astype(jnp.float32) * 1e-7
             t_w = jnp.full((1, 2 * T), tval, jnp.float32)
             if phase == "fillp":
-                fused._fill_P(c, prk, agq, t_w, rk=True)
+                fused._fill_P(c, prk, agq, t_w, rk=True,
+                              basis=cfg.hc.pair_coef_basis)
                 out[0:1] += prk[0:1, :T]
             elif phase == "mm5":
                 # The eval's 5 matmuls chained, no complex products.
@@ -137,28 +138,32 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                 out[:] += dr + di
             elif phase == "evals":
                 # Production path: old 5-dot structure at split3.
-                fused._fill_P(c, prk, agq, t_w, rk=True)
+                fused._fill_P(c, prk, agq, t_w, rk=True,
+                              basis=cfg.hc.pair_coef_basis)
                 hx, rhs = fused._eval_core(
                     c, consts_s, prk[:], xp_w, T, want_h=False,
                     dot=fused._sdot)
                 out[:] += rhs[:, :T] + hx[:n, :T]
             elif phase == "evalm":
                 # Merged 3-dot structure at split3.
-                fused._fill_P(c, prk, agq, t_w, rk=True)
+                fused._fill_P(c, prk, agq, t_w, rk=True,
+                              basis=cfg.hc.pair_coef_basis)
                 hx, rhs = fused._eval_core_merged(
                     c, consts_ms, prk[:], xp_w, T, want_h=False,
                     dot=fused._sdot)
                 out[:] += rhs[:, :T] + hx[:n, :T]
             elif phase == "evalk":
                 # Merged + K-concat split gathers (production candidate).
-                fused._fill_P(c, prk, agq, t_w, rk=True)
+                fused._fill_P(c, prk, agq, t_w, rk=True,
+                              basis=cfg.hc.pair_coef_basis)
                 hx, rhs = fused._eval_core_merged(
                     c, consts_k, prk[:], xp_w, T, want_h=False,
                     dot_g=fused._kdot, dot_f=fused._sdot)
                 out[:] += rhs[:, :T] + hx[:n, :T]
             elif phase == "evalf":
                 # Fold-only merge: separate gathers, one block-diag fold.
-                fused._fill_P(c, prk, agq, t_w, rk=True)
+                fused._fill_P(c, prk, agq, t_w, rk=True,
+                              basis=cfg.hc.pair_coef_basis)
                 sdot = fused._sdot
                 a = c.sec_a
                 fac = sdot(consts_s[0], xp_w)
@@ -174,7 +179,8 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                 # Gather-only merge: one gather, separate folds (the
                 # production "gathered" structure, bit-identical to
                 # classic split3).
-                fused._fill_P(c, prk, agq, t_w, rk=True)
+                fused._fill_P(c, prk, agq, t_w, rk=True,
+                              basis=cfg.hc.pair_coef_basis)
                 cg = (consts_s[0], consts_ms[1], consts_s[3],
                       consts_s[4], consts_s[5])
                 hx, rhs = fused._eval_core_gathered(
@@ -189,13 +195,15 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                 # two-point timing difference.
                 @pl.when(i == 0)
                 def _():
-                    fused._fill_P(c, prk, agq, t_w, rk=False)
+                    fused._fill_P(c, prk, agq, t_w, rk=False,
+                              basis=cfg.hc.pair_coef_basis)
                     hx0, rhs0 = fused._eval_core(
                         c, consts, prk[:], xp_w, T, want_h=True)
                     fused._assemble(c, m_sc, hx0, rhs0, T)
                     fused._solve(c, m_sc, sv_re, sv_im, used,
                                  xe_re, xe_im, T, save=(foh, ffr, ffi))
-                fused._fill_P(c, prk, agq, t_w, rk=False)
+                fused._fill_P(c, prk, agq, t_w, rk=False,
+                              basis=cfg.hc.pair_coef_basis)
                 _, rhs = fused._eval_core(
                     c, consts, prk[:], xp_w, T, want_h=True,
                     need_hx=False)
@@ -207,13 +215,15 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
             elif phase == "evrhs":
                 # Evaluation without the Hx half (the RKJ rhs-only path):
                 # isolates the hx-branch cost within "eval".
-                fused._fill_P(c, prk, agq, t_w, rk=True)
+                fused._fill_P(c, prk, agq, t_w, rk=True,
+                              basis=cfg.hc.pair_coef_basis)
                 _, rhs = fused._eval_core(
                     c, consts, prk[:], xp_w, T, want_h=False,
                     need_hx=False)
                 out[:] += rhs[:, :T]
             else:
-                fused._fill_P(c, prk, agq, t_w, rk=True)
+                fused._fill_P(c, prk, agq, t_w, rk=True,
+                              basis=cfg.hc.pair_coef_basis)
                 hx, rhs = fused._eval_core(
                     c, consts, prk[:], xp_w, T, want_h=False)
                 if phase == "eval":
@@ -256,7 +266,10 @@ def run_phase(problem, cfg, phase: str, iters: int):
     reps = -(-Bp // problem.num_tracks)
     x0 = np.tile(np.asarray(problem.start_sols), (reps, 1))[:Bp]
     coefs = fused.build_pair_coefs(
-        problem, jnp.asarray(diff_b.real), jnp.asarray(diff_b.imag), Bp)
+        problem, jnp.asarray(diff_b.real), jnp.asarray(diff_b.imag), Bp,
+        jnp.asarray(tgt_b.real.astype(np.float32)),
+        jnp.asarray(tgt_b.imag.astype(np.float32)),
+        basis=cfg.hc.pair_coef_basis, dynamic_start=False)
     perm = np.asarray(c.perm)
     xb = x0.T[perm]
 
@@ -340,7 +353,10 @@ def run_step(problem, cfg, iters: int):
     @jax.jit
     def go(ni):
         coefs = fused.build_pair_coefs(
-            problem, jnp.asarray(diff_b.real), jnp.asarray(diff_b.imag), Bp)
+            problem, jnp.asarray(diff_b.real), jnp.asarray(diff_b.imag), Bp,
+            jnp.asarray(tgt_b.real.astype(np.float32)),
+            jnp.asarray(tgt_b.imag.astype(np.float32)),
+            basis=cfg.hc.pair_coef_basis, dynamic_start=False)
         xr = jnp.asarray(xb.real, jnp.float32)
         xi = jnp.asarray(xb.imag, jnp.float32)
         state = (xr, xi, xr, xi, fused.init_flags(cfg.hc, Bp))

@@ -703,16 +703,37 @@ def _quad(a, b, cc, t):
     return (a * t + b) * t + cc
 
 
-def _fill_P(c: FusedConstants, P, agq, t_w, rk: bool):
+def _fill_P(c: FusedConstants, P, agq, t_w, rk: bool, basis: str = "abc"):
     """Fill the cached parameter-product vector P at one t value.
 
-    agq: (3, kp, 2T) hoisted quadratic coefficients (A, B, C) per combo,
-    gathered once per tile.  The Hx half [0:k2p] always takes the pair
-    product P_q(t); the H/Ht half takes the pair DERIVATIVE 2At+B for RK
-    stages (rk=True; ...LimUnroll_L2Cache.cuh:109-118 accumulates against
-    diffParams) and P_q(t) itself for the corrector's H (rk=False).
+    agq: (3, kp, 2T) hoisted quadratic coefficients per combo, gathered
+    once per tile -- (A, B, C) of A t^2 + B t + C under basis "abc",
+    (E, F, G) of t^2 E + t(1-t) F + (1-t)^2 G under basis "efg"
+    (HCConfig.pair_coef_basis; "efg" is endpoint-exact).  The Hx half
+    [0:k2p] always takes the pair product P_q(t); the H/Ht half takes
+    the pair DERIVATIVE for RK stages (rk=True;
+    ...LimUnroll_L2Cache.cuh:109-118 accumulates against diffParams) and
+    P_q(t) itself for the corrector's H (rk=False).
     """
     k2p = c.k2p
+    if basis == "efg":
+        v_w = 1.0 - t_w
+
+        def pq(sl):
+            # t^2 E + t v F + v^2 G, grouped so t = 1 (v = 0) yields E
+            # exactly: t*(t*E + v*F) + v*(v*G).
+            return (t_w * (t_w * agq[0, sl] + v_w * agq[1, sl])
+                    + v_w * (v_w * agq[2, sl]))
+
+        P[:k2p] = pq(slice(0, k2p))
+        if rk:
+            # dP/dt = 2t E + (1 - 2t) F - 2v G
+            sl = slice(k2p, None)
+            P[k2p:] = (2.0 * (t_w * agq[0, sl] - v_w * agq[2, sl])
+                       + (1.0 - 2.0 * t_w) * agq[1, sl])
+        else:
+            P[k2p:] = pq(slice(k2p, None))
+        return
     P[:k2p] = _quad(agq[0, :k2p], agq[1, :k2p], agq[2, :k2p], t_w)
     if rk:
         P[k2p:] = 2.0 * agq[0, k2p:] * t_w + agq[1, k2p:]
@@ -1655,7 +1676,8 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
             # and only re-evaluate Ht + replay the factorization.
             tb = t + half
             tc = tb + half
-            _fill_P(c, prk, agq, tw(t), rk=True)
+            _fill_P(c, prk, agq, tw(t), rk=True,
+                    basis=cfg.pair_coef_basis)
             if cfg.rk_jacobian_reuse:
                 k1 = es((x_re, x_im), prk, False, rk=True,
                         save=(foh, ffr, ffi))
@@ -1697,7 +1719,8 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 k1 = es((x_re, x_im), prk, False, rk=True)
                 stage = lambda x: es(x, prk, False, rk=True)
             xb = (x_re + half * k1[0], x_im + half * k1[1])
-            _fill_P(c, prk, agq, tw(tb), rk=True)
+            _fill_P(c, prk, agq, tw(tb), rk=True,
+                    basis=cfg.pair_coef_basis)
             k2 = stage(xb)
             if cfg.predictor == "rk2":
                 # Midpoint predictor (HCConfig.predictor): 2 stages.
@@ -1707,7 +1730,8 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 # Kutta's third-order rule: 3 stages.
                 xe3 = (x_re - dtc * k1[0] + 2.0 * dtc * k2[0],
                        x_im - dtc * k1[1] + 2.0 * dtc * k2[1])
-                _fill_P(c, prk, agq, tw(tc), rk=True)
+                _fill_P(c, prk, agq, tw(tc), rk=True,
+                        basis=cfg.pair_coef_basis)
                 k3 = stage(xe3)
                 sixth = dtc / 6.0
                 cur_re = x_re + sixth * (k1[0] + 4.0 * k2[0] + k3[0])
@@ -1716,7 +1740,8 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 xc = (x_re + half * k2[0], x_im + half * k2[1])
                 k3 = stage(xc)
                 xd = (x_re + dtc * k3[0], x_im + dtc * k3[1])
-                _fill_P(c, prk, agq, tw(tc), rk=True)
+                _fill_P(c, prk, agq, tw(tc), rk=True,
+                        basis=cfg.pair_coef_basis)
                 k4 = stage(xd)
                 sixth = dtc / 6.0
                 cur_re = x_re + sixth * (
@@ -1730,7 +1755,8 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
             # (the reference's per-warp corrector break, :241-242).  The
             # corrector's parameter products are filled once: t is frozen
             # (the reference reuses s_param_homotopy the same way).
-            _fill_P(c, pco, agq, tw(tc), rk=False)
+            _fill_P(c, pco, agq, tw(tc), rk=False,
+                    basis=cfg.pair_coef_basis)
             cw_re[:] = cur_re
             cw_im[:] = cur_im
             cfl[:] = jnp.zeros((3, T), jnp.float32)
@@ -1975,16 +2001,25 @@ def build_kernel_caller(
 
 
 def build_pair_coefs(problem: TrifocalProblem, diff_re, diff_im, Bp: int,
-                     tgt_re=None, tgt_im=None):
-    """Per-path quadratic pair-product coefficients (A, B, C), batch-last.
+                     tgt_re=None, tgt_im=None, basis: str = "abc",
+                     dynamic_start: Optional[bool] = None):
+    """Per-path quadratic pair-product coefficients, batch-last.
 
-    p(t) = start + t*diff, so P_q(t) = (s_a + t d_a)(s_b + t d_b)
-    = A t^2 + B t + C with A = d_a d_b, B = s_a d_b + s_b d_a,
-    C = s_a s_b.  diff_*: (B, P+1) planes; returns 6 arrays (Q, Bp).
+    basis="abc": p(t) = start + t*diff, so P_q(t) = (s_a + t d_a)
+    (s_b + t d_b) = A t^2 + B t + C with A = d_a d_b, B = s_a d_b +
+    s_b d_a, C = s_a s_b.  diff_*: (B, P+1) planes; returns 6 arrays
+    (Q, Bp).
 
-    The start system is derived per path as target - diff when target
-    planes are given (monodromy legs track between arbitrary parameter
+    basis="efg": the TWO-POINT form P_q(t) = t^2 E + t(1-t) F +
+    (1-t)^2 G with E = tgt_a tgt_b, F = tgt_a s_b + s_a tgt_b,
+    G = s_a s_b -- exact at both homotopy endpoints, matching the
+    oracle's p(t) = t*tgt + (1-t)*start (HCConfig.pair_coef_basis has
+    the numerics story).  Requires tgt planes.
+
+    The start system is derived per path as target - diff when
+    dynamic_start (monodromy legs track between arbitrary parameter
     points); otherwise the problem's static start parameters are used.
+    dynamic_start=None keeps the legacy rule "tgt given => dynamic".
     """
     f = problem.factored
     pp_a = np.asarray(f.pp_a)
@@ -1999,21 +2034,41 @@ def build_pair_coefs(problem: TrifocalProblem, diff_re, diff_im, Bp: int,
             )
         return a.T
 
+    if dynamic_start is None:
+        dynamic_start = tgt_re is not None
     da_re = padb(diff_re[:, pp_a])
     da_im = padb(diff_im[:, pp_a])
     db_re = padb(diff_re[:, pp_b])
     db_im = padb(diff_im[:, pp_b])
-    if tgt_re is None:
+    if not dynamic_start:
         sp = np.asarray(problem.start_params)
         sa_re = sp.real[pp_a][:, None]
         sa_im = sp.imag[pp_a][:, None]
         sb_re = sp.real[pp_b][:, None]
         sb_im = sp.imag[pp_b][:, None]
     else:
+        # Start reconstructed as target - diff: exact-data target, the
+        # reconstruction rounding lands on the START side (whose roots
+        # are known a priori; endpoint accuracy lives at t = 1).
         sa_re = padb(tgt_re[:, pp_a]) - da_re
         sa_im = padb(tgt_im[:, pp_a]) - da_im
         sb_re = padb(tgt_re[:, pp_b]) - db_re
         sb_im = padb(tgt_im[:, pp_b]) - db_im
+    if basis == "efg":
+        if tgt_re is None:
+            raise ValueError("basis='efg' needs target planes (exact "
+                             "target data makes E = tgt*tgt exact)")
+        ta_re = padb(tgt_re[:, pp_a])
+        ta_im = padb(tgt_im[:, pp_a])
+        tb_re = padb(tgt_re[:, pp_b])
+        tb_im = padb(tgt_im[:, pp_b])
+        epr, epi = _cmul(ta_re, ta_im, tb_re, tb_im)
+        fpr = ta_re * sb_re - ta_im * sb_im + sa_re * tb_re - sa_im * tb_im
+        fpi = ta_re * sb_im + ta_im * sb_re + sa_re * tb_im + sa_im * tb_re
+        gr, gi = _cmul(sa_re, sa_im, sb_re, sb_im)
+        gpr = jnp.broadcast_to(gr, (q, Bp)).astype(jnp.float32)
+        gpi = jnp.broadcast_to(gi, (q, Bp)).astype(jnp.float32)
+        return (epr, epi, fpr, fpi, gpr, gpi)
     apr, api = _cmul(da_re, da_im, db_re, db_im)
     bpr = sa_re * db_re - sa_im * db_im + sb_re * da_re - sb_im * da_im
     bpi = sa_re * db_im + sa_im * db_re + sb_re * da_im + sb_im * da_re
@@ -2123,12 +2178,11 @@ def make_track_fn(
             # coefficient homotopy, ops/p2c.py) supply their own per-path
             # quadratic product coefficients; the kernel is agnostic.
             coefs = coef_builder(diff_re, diff_im, Bp, tgt_re, tgt_im)
-        elif dynamic_start:
-            coefs = build_pair_coefs(
-                problem, diff_re, diff_im, Bp, tgt_re, tgt_im
-            )
         else:
-            coefs = build_pair_coefs(problem, diff_re, diff_im, Bp)
+            coefs = build_pair_coefs(
+                problem, diff_re, diff_im, Bp, tgt_re, tgt_im,
+                basis=cfg.pair_coef_basis, dynamic_start=dynamic_start,
+            )
         x_re = padb(x0_re)[perm]   # permuted variable order, batch-last
         x_im = padb(x0_im)[perm]
         state = (x_re, x_im, x_re, x_im, init_flags(cfg, Bp))

@@ -234,7 +234,14 @@ def make_fused_p2c_track_fn(problem: TrifocalProblem, tables: P2CTables,
     Mi = jnp.asarray(M.imag[rows].astype(np.float32))
 
     def coef_builder(diff_re, diff_im, Bp, tgt_re=None, tgt_im=None):
-        base = fused.build_pair_coefs(problem, diff_re, diff_im, Bp)
+        # The coefficient map is LINEAR in the pair quadratics, so it is
+        # basis-agnostic: mapping (E, F, G) gives the coefficients'
+        # two-point quadratics exactly as mapping (A, B, C) gives their
+        # monomial ones.  Follow the kernel's configured basis.
+        base = fused.build_pair_coefs(
+            problem, diff_re, diff_im, Bp, tgt_re, tgt_im,
+            basis=cfg.pair_coef_basis, dynamic_start=False,
+        )
         out = []
         for re, im in zip(base[0::2], base[1::2]):
             out.append(Mr @ re - Mi @ im)

@@ -191,7 +191,10 @@ def make_segmented_track_fn(
                 )
             return a.T
 
-        coefs = list(fused.build_pair_coefs(problem, diff_re, diff_im, Bp))
+        coefs = list(fused.build_pair_coefs(
+            problem, diff_re, diff_im, Bp, tgt_re, tgt_im,
+            basis=cfg.pair_coef_basis, dynamic_start=False,
+        ))
         x_re = padb(x0_re)[perm]
         x_im = padb(x0_im)[perm]
         fl = fused.init_flags(cfg, Bp)

@@ -126,6 +126,24 @@ class HCConfig:
     eval_precision: str = dataclasses.field(
         default_factory=lambda: os.environ.get(
             "TPUHC_EVAL_PRECISION", "split3"))
+    # Hoisted pair-product quadratic basis ("abc" | "efg").  "abc" expands
+    # P_q(t) = (s_a + t d_a)(s_b + t d_b) = A t^2 + B t + C (A = d d,
+    # B = s d + d s, C = s s) -- the round-2 hoisting.  Its evaluation
+    # error is ~eps * max(|A|,|B|,|C|) ABSOLUTE, which for the many small
+    # pair products (median |P| ~ 0.01, coefficients O(1)) is a 1e-5..1e-3
+    # RELATIVE error near t = 1 -- measured to put a ~1e-4 floor under
+    # every converged solution's imaginary residue (the fused kernel
+    # reports 31 'real' solutions at the reference's 1e-4 cliff where the
+    # direct-form oracle reports 659; identical in interpret mode, so it
+    # is formulation, not TPU arithmetic).  "efg" hoists the TWO-POINT
+    # form P = t^2 E + t(1-t) F + (1-t)^2 G (E = tgt tgt, F = tgt s +
+    # s tgt, G = s s): exact at t = 1 (E is a product of exact target
+    # data) and t = 0, matching the oracle's p(t) = t*tgt + (1-t)*s
+    # (compute_param_homotopy, ...LimUnroll_L2Cache.cuh:40-54).  Env
+    # override TPUHC_PAIR_BASIS; gate the default flip on reconcile
+    # stats + accuracy sweep like any eval-precision change.
+    pair_coef_basis: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("TPUHC_PAIR_BASIS", "abc"))
     # Evaluator op structure ("classic" | "gathered" | "merged"):
     # "classic" issues the original 5 constant matmuls per evaluation;
     # "gathered" merges the two combo gathers into one (4 matmuls,
