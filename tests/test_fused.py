@@ -226,7 +226,11 @@ def test_cjr_tracker_matches_oracle(problem, hc, workload):
     campaign spends time on it.
     """
     x0, tgt_b, diff_b, _ = workload
-    hc_c = dataclasses.replace(hc, corrector_jacobian_reuse=1)
+    # predictor_handoff off: CJR + CPH stack two replay-vs-resolve
+    # rounding channels per step, pushing the value band past 1e-3;
+    # this test isolates the CJR wiring (CPH has its own parity test).
+    hc_c = dataclasses.replace(hc, corrector_jacobian_reuse=1,
+                               predictor_handoff=False)
     ro = tracker.make_track_fn(problem, hc_c)(x0, tgt_b, diff_b)
     rf = fused.make_track_fn(problem, hc_c, tile=_TILE, interpret=True)(
         x0, tgt_b, diff_b

@@ -717,20 +717,26 @@ def _fill_P(c: FusedConstants, P, agq, t_w, rk: bool, basis: str = "abc"):
     """
     k2p = c.k2p
     if basis == "efg":
+        # Precompute the three quadratic basis rows ONCE per fill (they
+        # broadcast over all combo rows): P = t^2 E + tv F + v^2 G costs
+        # one mul + two FMAs per row, and at t = 1 the rows are exactly
+        # (1, 0, 0) so P == E bit-exactly (the endpoint-exactness that
+        # motivates this basis; see HCConfig.pair_coef_basis).
         v_w = 1.0 - t_w
+        tt = t_w * t_w
+        tv = t_w * v_w
+        vv = v_w * v_w
 
         def pq(sl):
-            # t^2 E + t v F + v^2 G, grouped so t = 1 (v = 0) yields E
-            # exactly: t*(t*E + v*F) + v*(v*G).
-            return (t_w * (t_w * agq[0, sl] + v_w * agq[1, sl])
-                    + v_w * (v_w * agq[2, sl]))
+            return tt * agq[0, sl] + (tv * agq[1, sl] + vv * agq[2, sl])
 
         P[:k2p] = pq(slice(0, k2p))
         if rk:
-            # dP/dt = 2t E + (1 - 2t) F - 2v G
+            # dP/dt = 2t E + (1 - 2t) F - 2v G, same broadcast-row trick.
+            t2 = 2.0 * t_w
             sl = slice(k2p, None)
-            P[k2p:] = (2.0 * (t_w * agq[0, sl] - v_w * agq[2, sl])
-                       + (1.0 - 2.0 * t_w) * agq[1, sl])
+            P[k2p:] = (t2 * agq[0, sl] + ((1.0 - t2) * agq[1, sl]
+                                          - (2.0 * v_w) * agq[2, sl]))
         else:
             P[k2p:] = pq(slice(k2p, None))
         return

@@ -139,11 +139,16 @@ class HCConfig:
     # form P = t^2 E + t(1-t) F + (1-t)^2 G (E = tgt tgt, F = tgt s +
     # s tgt, G = s s): exact at t = 1 (E is a product of exact target
     # data) and t = 0, matching the oracle's p(t) = t*tgt + (1-t)*s
-    # (compute_param_homotopy, ...LimUnroll_L2Cache.cuh:40-54).  Env
-    # override TPUHC_PAIR_BASIS; gate the default flip on reconcile
-    # stats + accuracy sweep like any eval-precision change.
+    # (compute_param_homotopy, ...LimUnroll_L2Cache.cuh:40-54).
+    # ADOPTED as default in round 4 -- every gate improved on v5e:
+    # reconcile real 31 -> 669 at the 1e-4 cliff (oracle 659, reference
+    # CPU 521) with conv/inf held, accuracy sweep 92/100 recovered (90
+    # on the first round, up from 89), serving median 292 -> 213 ms,
+    # bench unchanged (57.9k), step +2.7% (before the 3-op broadcast-row
+    # fill).  Env override TPUHC_PAIR_BASIS=abc restores the round-2/3
+    # basis for A/B.
     pair_coef_basis: str = dataclasses.field(
-        default_factory=lambda: os.environ.get("TPUHC_PAIR_BASIS", "abc"))
+        default_factory=lambda: os.environ.get("TPUHC_PAIR_BASIS", "efg"))
     # Evaluator op structure ("classic" | "gathered" | "merged"):
     # "classic" issues the original 5 constant matmuls per evaluation;
     # "gathered" merges the two combo gathers into one (4 matmuls,
