@@ -144,6 +144,17 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                     c, consts_s, prk[:], xp_w, T, want_h=False,
                     dot=fused._sdot)
                 out[:] += rhs[:, :T] + hx[:n, :T]
+            elif phase == "evalsk":
+                # Classic structure, K-concatenated splits: 5 matmul
+                # issues instead of 15 (eval_precision="split3k").
+                fused._fill_P(c, prk, agq, t_w, rk=True,
+                              basis=cfg.hc.pair_coef_basis)
+                ck = tuple(jnp.concatenate([cb] * 3, axis=1)
+                           for cb in consts_s)
+                hx, rhs = fused._eval_core(
+                    c, ck, prk[:], xp_w, T, want_h=False,
+                    dot=fused._kdot)
+                out[:] += rhs[:, :T] + hx[:n, :T]
             elif phase == "evalm":
                 # Merged 3-dot structure at split3.
                 fused._fill_P(c, prk, agq, t_w, rk=True,

@@ -1527,6 +1527,7 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
         # would cost more than the adds it saves).
         split = (not interpret) and cfg.eval_precision.startswith("split3")
         rk2 = split and cfg.eval_precision == "split3_rk2"
+        kconcat = split and cfg.eval_precision == "split3k"
         if split:
             consts_b = tuple(a.astype(jnp.bfloat16) for a in consts_f)
             if merged:
@@ -1538,6 +1539,17 @@ def _make_kernel(c: FusedConstants, cfg: HCConfig, T: int, n_iters: int,
                 dots = dict(dot_g=_kdot, dot_f=_sdot)
                 dots_rk = (dict(dot_g=_kdot2, dot_f=_sdot2)
                            if rk2 else dots)
+            elif kconcat:
+                # "split3k": every constant matmul as ONE K-concatenated
+                # split product (5 matmul issues per evaluation instead
+                # of 15 -- the per-call overhead dominates at these
+                # shapes, ~0.23 us/call measured).  Same exact 3-term
+                # split; only the h+l1+l2 add association moves into the
+                # MXU K-accumulation (~1 ulp class, conv-gated like any
+                # eval-precision change).
+                consts = tuple(jnp.concatenate([cb] * 3, axis=1)
+                               for cb in consts_b)
+                dots = dots_rk = dict(dot=_kdot)
             else:
                 # classic AND gathered: per-matmul 3-term splits, added in
                 # a fixed order -- the two structures stay bit-identical.

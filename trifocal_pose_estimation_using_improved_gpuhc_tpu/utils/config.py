@@ -116,7 +116,11 @@ class HCConfig:
     # Evaluator matmul mode on TPU: "split3" computes every constant matmul
     # as three 1-pass bf16 products of an exact f32 = hi+lo1+lo2 split
     # (exact to f32 final rounding, ~2x faster than Precision.HIGHEST,
-    # which Mosaic lowers to ~6 bf16 passes); "split3_rk2" additionally
+    # which Mosaic lowers to ~6 bf16 passes); "split3k" issues each
+    # matmul ONCE with the three split terms concatenated along K
+    # (5 matmul calls per evaluation instead of 15 -- per-call overhead
+    # dominates at these shapes; the h+l1+l2 association moves into the
+    # MXU K-accumulation, ~1-ulp class); "split3_rk2" additionally
     # drops the RK PREDICTOR stages to 2-term splits (~16 significant
     # bits; the Newton corrector keeps the exact 3-term form) -- gate any
     # adoption on convergence statistics; "highest" is the plain
