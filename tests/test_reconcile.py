@@ -78,3 +78,31 @@ def test_convergence_statistics_golden(cfg, problem):
     assert abs(st.num_converged - 125) <= 3
     assert abs(st.num_infinity - 57) <= 3
     assert int(res.pruned.sum()) == 0
+
+
+@pytest.mark.slow
+def test_f32_oracle_real_count_h2(cfg, problem):
+    """The f32 oracle's H=2 real count at the 1e-4 cliff (measured 15 of
+    216 converged -- the per-hypothesis rate matching the reference
+    CPU's 521/31200; the f64 oracle measured the same scale, 638 at
+    H=100, tools/f64_reconcile.py + README).  A collapse back toward 0
+    would mean an ABC-style absolute-error floor crept back into the
+    oracle path (the defect the EFG pair basis fixed in the kernel)."""
+    view = data_io.load_ransac_view(ransac_data_dir(cfg), 0)
+    samples = ransac.sample_edgel_triplets_reference(
+        0, view.edge_locations.shape[0], 2
+    )
+    tgt = ransac.build_target_params(
+        view.edge_locations, view.edge_tangents, samples
+    )
+    T = problem.num_tracks
+    tgt_b = np.repeat(tgt, T, axis=0)
+    diff_b = tgt_b - np.asarray(problem.start_params)
+    x0 = np.tile(np.asarray(problem.start_sols), (2, 1))
+    hc = dataclasses.replace(cfg.hc, truncate_paths=False)
+    res = tracker.make_track_fn(problem, hc)(x0, tgt_b, diff_b)
+    mi = np.abs(res.x.imag).max(axis=-1)
+    n_real = int((res.converged & (mi <= 1e-4)).sum())
+    # Measured 15 (f32, full-pivot oracle).  Threshold-level drift of a
+    # couple of paths is float noise; a floor defect zeroes it.
+    assert n_real >= 10

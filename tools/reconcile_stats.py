@@ -83,7 +83,11 @@ def main():
         counts = {t: int((conv & (mi <= t)).sum()) for t in tols}
         print(f"  real-count by imag tol: {counts}")
         if conv.any():
-            q = np.percentile(mi[conv], [10, 25, 50, 75, 90])
+            # nanpercentile: a handful of converged-flag paths hold
+            # non-finite coordinates (diverged then t-converged lanes).
+            q = np.nanpercentile(
+                np.where(np.isfinite(mi), mi, np.nan)[conv],
+                [10, 25, 50, 75, 90])
             print(f"  max|imag| over converged, p10/25/50/75/90: "
                   + " ".join(f"{v:.3g}" for v in q))
 
