@@ -120,7 +120,15 @@ class HCConfig:
     # matmul ONCE with the three split terms concatenated along K
     # (5 matmul calls per evaluation instead of 15 -- per-call overhead
     # dominates at these shapes; the h+l1+l2 association moves into the
-    # MXU K-accumulation, ~1-ulp class); "split3_rk2" additionally
+    # MXU K-accumulation, ~1-ulp class).  "split3k" ADOPTED as default
+    # in round 4 (campaign 13, v5e, tile=128): eval core 4.83 -> 3.93
+    # us/iter/tile, full HC step 81.71 -> 71.34 (-12.7%), reconcile
+    # gates held (trun-off conv 10716 / real 671 / inf 6589 vs defaults
+    # 10678/670/6582; trun-on 2541/118/1940 vs 2540/118/1938), bench
+    # 57.8k -> 64.2k paths/s (vs_baseline 0.277 -> 0.308); tile=256
+    # retune check stayed worse (159.10), tile default remains 128.
+    # TPUHC_EVAL_PRECISION=split3 restores the 15-call form.
+    # "split3_rk2" additionally
     # drops the RK PREDICTOR stages to 2-term splits (~16 significant
     # bits; the Newton corrector keeps the exact 3-term form) -- gate any
     # adoption on convergence statistics; "highest" is the plain
@@ -129,7 +137,7 @@ class HCConfig:
     # vs "split3" when chasing imaginary-residue questions on hardware).
     eval_precision: str = dataclasses.field(
         default_factory=lambda: os.environ.get(
-            "TPUHC_EVAL_PRECISION", "split3"))
+            "TPUHC_EVAL_PRECISION", "split3k"))
     # Hoisted pair-product quadratic basis ("abc" | "efg").  "abc" expands
     # P_q(t) = (s_a + t d_a)(s_b + t d_b) = A t^2 + B t + C (A = d d,
     # B = s d + d s, C = s s) -- the round-2 hoisting.  Its evaluation
