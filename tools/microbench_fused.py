@@ -198,6 +198,24 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                     c, cg, prk[:], xp_w, T, want_h=False,
                     dot=fused._sdot)
                 out[:] += rhs[:, :T] + hx[:n, :T]
+            elif phase == "evalgk":
+                # Gathered structure + K-concatenated splits: 4 matmul
+                # issues per evaluation (vs evalsk's 5).  The combined
+                # combo gather was slightly SLOWER than classic at
+                # per-matmul split3 (evalg 5.35 vs evals 5.07, campaign
+                # 9) because its wider gather added a 3x-split call; at
+                # kconcat every structure pays one call per matmul, so
+                # the call-count argument flips in gathered's favor.
+                fused._fill_P(c, prk, agq, t_w, rk=True,
+                              basis=cfg.hc.pair_coef_basis)
+                cg = (consts_s[0], consts_ms[1], consts_s[3],
+                      consts_s[4], consts_s[5])
+                ckg = tuple(jnp.concatenate([cb] * 3, axis=1)
+                            for cb in cg)
+                hx, rhs = fused._eval_core_gathered(
+                    c, ckg, prk[:], xp_w, T, want_h=False,
+                    dot=fused._kdot)
+                out[:] += rhs[:, :T] + hx[:n, :T]
             elif phase == "replay":
                 # CJR corrector iteration: H-only eval + saved-
                 # factorization rhs replay (compare against "evsolve",
