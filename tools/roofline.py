@@ -152,7 +152,10 @@ def main():
               f"mxu-passes {d['mxu']:7.0f}   vreg-ops {d['vreg']:8.0f}")
     print("\nsplit3 note: every constant matmul executes as 3 one-pass bf16 "
           "products\n(exact f32 split), so EXECUTED MXU passes = 3x the "
-          "column above.")
+          "column above.\nsplit3k (shipped default): the 3 split terms "
+          "concatenate along K, so each\nconstant matmul ISSUES once -- "
+          "issued MXU calls = the column above; the\nexecuted pass work "
+          "is unchanged (3x K per call).")
 
     if args.step_us:
         per_path_us = args.step_us / T
