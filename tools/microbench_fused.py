@@ -241,6 +241,82 @@ def build_phase_kernel(c, cfg, phase: str, T: int):
                 dr, di = rp(c, sv_re, sv_im, foh, ffr, ffi, rr_re, rr_im,
                             xe_re, xe_im, rhs, T)
                 out[:] += dr + di
+            elif phase == "elimfam":
+                # Family stages only (6 triples + 4 quads + 2 pairs as 3
+                # batched stages + survivor compaction); pairs with
+                # "elimtail" to split the "elim" phase's cost.
+                prev = []
+                for fam in c.reduced.fams:
+                    prev.append(fused._fam_forward(
+                        c, fam, m_sc, sv_re, sv_im, T, prev))
+                out[:] += sv_re[:, 0, :] + sv_im[:, 0, :]
+            elif phase == "elimtail":
+                # The 14 sequential reduced stages only, run on the raw
+                # (uncompacted) assembly -- the timing is shape-
+                # determined, so this isolates the tail's cost without
+                # the family prerequisites.
+                red = c.reduced
+                co = red.col_off
+                n_ = len(c.perm)
+                width_ = n_ + 2
+                used[0:red.n2] = jnp.zeros((red.n2, T), jnp.float32)
+                for group, runs, lo in red.red_plan:
+                    nc = sum(hi - lo_r for lo_r, hi in runs)
+                    all_fresh = group[0][3]
+                    if len(runs) == 1:
+                        r0, r1 = runs[0]
+                        Mw = m_sc[r0:r1, co + lo:width_]
+                        ure = (jnp.zeros((nc, T), jnp.float32) if all_fresh
+                               else used[r0:r1])
+                    else:
+                        Mw = jnp.concatenate(
+                            [m_sc[a:b, co + lo:width_] for a, b in runs], 0)
+                        ure = (jnp.zeros((nc, T), jnp.float32) if all_fresh
+                               else jnp.concatenate(
+                                   [used[a:b] for a, b in runs], 0))
+                    Mre = Mw[:, :, :T]
+                    Mim = Mw[:, :, T:]
+                    for s, _, _, fresh, last in group:
+                        jcol = s - lo
+                        cr = Mre[:, jcol, :]
+                        ci = Mim[:, jcol, :]
+                        metric = jnp.abs(cr) + jnp.abs(ci)
+                        if not fresh:
+                            metric = jnp.where(ure > 0.5, -1.0, metric)
+                        mx = jnp.max(metric, axis=0, keepdims=True)
+                        hit = metric >= mx
+                        rid = jax.lax.broadcasted_iota(
+                            jnp.int32, (nc, T), 0)
+                        first = jnp.min(jnp.where(hit, rid, nc), axis=0,
+                                        keepdims=True)
+                        oh = (rid == first).astype(jnp.float32)
+                        prow_re = jnp.sum(oh[:, None, :] * Mre, axis=0)
+                        prow_im = jnp.sum(oh[:, None, :] * Mim, axis=0)
+                        sv_re[co + s, co + lo:width_] = prow_re
+                        sv_im[co + s, co + lo:width_] = prow_im
+                        pr = prow_re[jcol:jcol + 1]
+                        pi = prow_im[jcol:jcol + 1]
+                        den = pr * pr + pi * pi
+                        den = jnp.where(den == 0.0, 1.0, den)
+                        fr, fi = fused._cmul(cr, ci, pr / den, -pi / den)
+                        nm = 1.0 - oh
+                        fr = fr * nm
+                        fi = fi * nm
+                        Mre = Mre - (fr[:, None, :] * prow_re[None]
+                                     - fi[:, None, :] * prow_im[None])
+                        Mim = Mim - (fr[:, None, :] * prow_im[None]
+                                     + fi[:, None, :] * prow_re[None])
+                        ure = ure + oh
+                    last_any = group[-1][4]
+                    new_w = jnp.concatenate([Mre, Mim], axis=2)
+                    off = 0
+                    for a, b in runs:
+                        w_r = b - a
+                        m_sc[a:b, co + lo:width_] = new_w[off:off + w_r]
+                        if not last_any:
+                            used[a:b] = ure[off:off + w_r]
+                        off += w_r
+                out[:] += sv_re[:, 0, :] + sv_im[:, 0, :]
             elif phase == "evrhs":
                 # Evaluation without the Hx half (the RKJ rhs-only path):
                 # isolates the hx-branch cost within "eval".
