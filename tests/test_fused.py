@@ -323,6 +323,46 @@ def test_eval_core_variants(problem):
         assert bool((hxm[c.nnz: c.nzp] == 0.0).all())
 
 
+def test_kdot_matches_sdot_split(problem):
+    """split3k (shipped default): the K-concatenated split dot vs the
+    per-matmul 3-term split, through the full eval core.
+
+    _kdot moves the h+l1+l2 add association into the MXU K-accumulation;
+    both forms are exact 3-term bf16 splits of the same f32 data, so
+    they agree to final rounding (~1 ulp per output), never bit-exactly.
+    Pins the campaign-13 adoption's CPU-checkable half (the TPU halves
+    are the reconcile conv/real/inf gates recorded in the config
+    docstring)."""
+    import jax.numpy as jnp
+
+    c = fused.FusedConstants.build(problem)
+    T = 8
+    rng = np.random.default_rng(11)
+    xp = rng.standard_normal((31, 2 * T)).astype(np.float32)
+    xp[30, :T] = 1.0
+    xp[30, T:] = 0.0
+    P = (rng.standard_normal((c.kp, 2 * T))
+         * 10.0 ** rng.uniform(-2, 3, (c.kp, 1))).astype(np.float32)
+    consts_b = tuple(
+        jnp.asarray(a).astype(jnp.bfloat16)
+        for a in (c.ohx23, c.ohx2g, c.ohx3g, c.chx, c.cht, c.chtneg)
+    )
+    consts_k = tuple(jnp.concatenate([cb] * 3, axis=1) for cb in consts_b)
+    for want_h in (True, False):
+        hx, rhs = fused._eval_core(
+            c, consts_b, jnp.asarray(P), jnp.asarray(xp), T, want_h,
+            dot=fused._sdot)
+        hxk, rhsk = fused._eval_core(
+            c, consts_k, jnp.asarray(P), jnp.asarray(xp), T, want_h,
+            dot=fused._kdot)
+        scale_h = np.abs(np.asarray(hx)).max()
+        scale_r = np.abs(np.asarray(rhs)).max()
+        np.testing.assert_allclose(
+            np.asarray(hxk), np.asarray(hx), atol=1e-5 * scale_h, rtol=0)
+        np.testing.assert_allclose(
+            np.asarray(rhsk), np.asarray(rhs), atol=1e-5 * scale_r, rtol=0)
+
+
 @pytest.mark.slow
 def test_cph_tracker_matches_oracle(problem, hc, workload):
     """Corrector->predictor factorization handoff (CPH, HCConfig
