@@ -54,7 +54,14 @@ class HCConfig:
     truncate_paths: bool = True         # TrunPaths: depth-sign pruning (:149-154)
     # Optimisation knobs beyond the reference (ablation ladder additions):
     compact_survivors: bool = True      # compact active paths between segments
-    segment_steps: int = 8              # HC steps per fused-kernel segment
+    # HC steps per fused-kernel segment: compaction/scoring runs between
+    # segments, so shorter segments prune finer but launch more often.
+    # Semantics-invariant (pure scheduling; step counts/flags identical),
+    # so retunes are timing-only A/Bs.  Env override TPUHC_SEGMENT_STEPS
+    # (campaign tooling: bench A/B after per-step cost changes).
+    segment_steps: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get(
+            "TPUHC_SEGMENT_STEPS", "8")))
     # (RKJ) frozen-Jacobian RK stages: evaluate/factor Hx once per HC step,
     # re-apply the factorization to stages 2-4's -Ht right-hand sides. The
     # corrector still uses the exact Jacobian, so converged roots satisfy
