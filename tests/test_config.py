@@ -41,6 +41,22 @@ def test_cjr_and_solver_env_overrides(monkeypatch):
     assert HCConfig().corrector_jacobian_reuse == 0
 
 
+def test_segment_and_precision_env_overrides(monkeypatch):
+    """TPUHC_SEGMENT_STEPS / TPUHC_EVAL_PRECISION: campaign knobs for the
+    segment-length retune and the split-matmul mode.  split3k is the
+    shipped default since campaign 13 (see HCConfig.eval_precision)."""
+    assert HCConfig().segment_steps == 8
+    assert HCConfig().eval_precision == "split3k"
+    monkeypatch.setenv("TPUHC_SEGMENT_STEPS", "12")
+    monkeypatch.setenv("TPUHC_EVAL_PRECISION", "split3")
+    assert HCConfig().segment_steps == 12
+    assert HCConfig().eval_precision == "split3"
+    assert HCConfig(segment_steps=4).segment_steps == 4
+    monkeypatch.delenv("TPUHC_SEGMENT_STEPS")
+    monkeypatch.delenv("TPUHC_EVAL_PRECISION")
+    assert HCConfig().segment_steps == 8
+
+
 def test_num_of_cores_yaml_key(tmp_path):
     """Num_Of_Cores (gpuhc_settings.yaml:34) is parsed and recorded; the
     CPU oracle's parallelism itself is the XLA CPU runtime's thread pool
