@@ -77,18 +77,23 @@ def main():
         # at the 1e-4 cliff -- in line with the reference CPU's 521 --
         # so any deficit here is kernel numerics, not the cliff itself):
         # where do this tracker's converged solutions sit vs the cliff?
-        conv = res.converged
+        conv = np.asarray(res.converged).astype(bool)
         mi = np.abs(np.asarray(res.x).imag).max(axis=-1)
         tols = (1e-5, 3e-5, 1e-4, 3e-4, 1e-3, 3e-3, 1e-2)
         counts = {t: int((conv & (mi <= t)).sum()) for t in tols}
         print(f"  real-count by imag tol: {counts}")
-        if conv.any():
-            # nanpercentile: a handful of converged-flag paths hold
-            # non-finite coordinates (diverged then t-converged lanes).
-            q = np.nanpercentile(
-                np.where(np.isfinite(mi), mi, np.nan)[conv],
-                [10, 25, 50, 75, 90])
-            print(f"  max|imag| over converged, p10/25/50/75/90: "
+        # Explicit numpy bool conversion: `conv` arrives as a device
+        # array on the TPU path, and fancy-indexing a numpy array with
+        # it printed all-nan percentiles in campaigns 12/13 while the
+        # tol counts (pure elementwise) were fine.  A handful of
+        # converged-flag paths also hold non-finite coordinates
+        # (diverged then t-converged lanes) -- drop them and say so.
+        vals = mi[conv]
+        finite = vals[np.isfinite(vals)]
+        if finite.size:
+            q = np.percentile(finite, [10, 25, 50, 75, 90])
+            print(f"  max|imag| over converged ({finite.size} finite of "
+                  f"{vals.size}), p10/25/50/75/90: "
                   + " ".join(f"{v:.3g}" for v in q))
 
 
