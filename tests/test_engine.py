@@ -41,6 +41,61 @@ def test_run_stream_matches_run_round(engine):
     assert results[0].best_support21 == rr.best_support21
 
 
+@pytest.mark.slow
+def test_stream_abort_matches_round_abort(cfg, monkeypatch):
+    """Chunked abort stream (engine._run_stream_abort) vs run_round abort.
+
+    Interpret-mode segmented engine (the abort pipeline needs the
+    segmented kernel driver; TPUHC_FORCE_INTERPRET=1 keeps it on the CPU
+    backend).  Part A: a step budget too small for any hit, so both modes
+    dispatch EVERY chunk -- the stream's per-chunk device-select sums must
+    equal the round pipeline's whole-batch statistics.  Part B: relaxed
+    candidate gates (ratio 0 + huge imag tol, the test_parallel abort
+    trick) so a mid-stream chunk hits -- the scheduler must report the
+    found pose and skip the view's remaining chunks.
+    """
+    monkeypatch.setenv("TPUHC_FORCE_INTERPRET", "1")
+
+    # Part A: no hit possible in 16 steps; full chunk sweep both modes.
+    ecfg = dataclasses.replace(
+        cfg,
+        hc=dataclasses.replace(cfg.hc, max_steps=16),
+        ransac=dataclasses.replace(cfg.ransac, abort_by_good_sol=True,
+                                   abort_chunk=2),
+    )
+    eng = TrifocalPoseEngine(ecfg)
+    assert eng._segmented
+    view = eng.load_view(0)
+    rr = eng.run_round(view, seed=0, num_hypotheses=4)
+    results, vps = eng.run_stream([0], num_hypotheses=4)
+    sr = results[0]
+    assert vps > 0 and len(results) == 1
+    assert sr.stats.num_paths == rr.stats.num_paths
+    assert sr.stats.num_converged == rr.stats.num_converged
+    assert sr.stats.num_infinity == rr.stats.num_infinity
+    assert sr.num_candidates == rr.num_candidates
+    assert sr.best_support21 == rr.best_support21
+    assert sr.found_pose == rr.found_pose is False
+
+    # Part B: 30 steps + relaxed gates -> a candidate converges (probed:
+    # 1 candidate at H=4 seed 0) and any candidate is a hit.
+    ecfg_b = dataclasses.replace(
+        cfg,
+        hc=dataclasses.replace(cfg.hc, max_steps=30),
+        ransac=dataclasses.replace(
+            cfg.ransac, abort_by_good_sol=True, abort_chunk=2,
+            imag_part_tol=1e9, pass_inlier_support_ratio=0.0,
+        ),
+    )
+    eng_b = TrifocalPoseEngine(ecfg_b)
+    results_b, _ = eng_b.run_stream([0], num_hypotheses=4)
+    sb = results_b[0]
+    assert sb.found_pose
+    assert sb.best_pose is not None and sb.pose_errors is not None
+    assert sb.num_candidates >= 1
+    assert sb.actual_sol_steps.shape == (1,)
+
+
 def test_ef_matrix_utilities(cfg):
     """Skew/essential/fundamental builders (util.hpp:155-228): the GT pose's
     F satisfies the epipolar constraint on the view's correspondences."""

@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from collections import deque
 from typing import Optional
 
 import jax
@@ -770,6 +771,168 @@ class TrifocalPoseEngine:
             ]
         return host_args
 
+    def _run_stream_abort(self, view_indices, H: int, seed: int):
+        """Streamed recovery with TrunRANSAC abort: chunk-granular pipeline.
+
+        Serving analogue of run_round's abort path, restructured for
+        throughput across a view STREAM: hypotheses dispatch in chunks
+        (cfg.ransac.abort_chunk, like ...TrunRANSAC.cu's serialized block
+        waves) and the scheduler keeps two chunks in flight -- but unlike
+        run_round, the speculative slot is filled CROSS-VIEW.  A view's
+        later chunks are enqueued only after an earlier chunk's result has
+        been read as a miss, so when chunk (v, c) hits, the in-flight
+        speculative chunk is the NEXT view's work, not a doomed sibling:
+        a hit wastes no device time at all (run_round's same-view
+        speculation wastes up to one chunk per hit, which is the right
+        trade for single-view latency but not for stream throughput).
+        Each chunk additionally stops early on device at the first segment
+        boundary holding a >=90%-support pose (ops/segmented.py).  Scoring
+        + selection stay on device; one (39,) f32 vector per CHUNK crosses
+        d2h, read only after the next dispatch is in flight.
+        """
+        cfg = self.cfg
+        T = self.problem.num_tracks
+        Hp = -(-H // self._ndev) * self._ndev
+        chunk_h = min(cfg.ransac.abort_chunk, Hp)
+        chunk_h = -(-chunk_h // self._ndev) * self._ndev
+        n_chunks = -(-Hp // chunk_h)
+        x0r, x0i = self._staged_x0(chunk_h)
+        k_dev = jax.device_put(self._intrinsics.astype(np.float32))
+        f32 = np.float32
+        ratio = cfg.ransac.pass_inlier_support_ratio
+        selects = {}  # real paths in chunk -> jitted device select
+
+        def real_h(ci: int) -> int:
+            # Real (non-pad) hypotheses in chunk ci: device padding (Hp>H)
+            # and the ragged-tail duplicates must not inflate statistics.
+            return max(0, min(H - ci * chunk_h, chunk_h))
+
+        nv = len(view_indices)
+        views: list = [None] * nv
+        prep: list = [None] * nv
+
+        def prep_view(i: int):
+            view = self.load_view(view_indices[i])
+            views[i] = view
+            n_e = view.edge_locations.shape[0]
+            samples = ransac.sample_edgel_triplets(seed, n_e, Hp)
+            tgt = ransac.build_target_params(
+                view.edge_locations, view.edge_tangents, samples
+            )
+            diff = tgt - self.problem.start_params
+            chs = []
+            for ci in range(n_chunks):
+                lo, hi = ci * chunk_h, min((ci + 1) * chunk_h, Hp)
+                sl = [tgt.real[lo:hi], tgt.imag[lo:hi],
+                      diff.real[lo:hi], diff.imag[lo:hi]]
+                if hi - lo < chunk_h:  # ragged tail: pad with first hyps
+                    sl = [np.concatenate([a, a[: chunk_h - (hi - lo)]])
+                          for a in sl]
+                chs.append([jax.device_put(a.astype(f32)) for a in sl])
+            edg = jax.device_put(_pad_to(
+                view.edge_locations.astype(f32),
+                _EDGEL_PAD * -(-n_e // _EDGEL_PAD), 1e3,
+            ))
+            prep[i] = (chs, edg, np.float32(n_e))
+
+        def dispatch(i: int, ci: int):
+            chs, edg, ne = prep[i]
+            out = self._track_expand(x0r, x0i, *chs[ci], edg, k_dev, ne)
+            sc = self._device_score(out[0], out[1], out[2], out[3],
+                                    edg, k_dev)
+            n = real_h(ci) * T
+            if n not in selects:
+                selects[n] = self._build_device_select(n)
+            return selects[n](out[0], out[2], out[3], sc[0], sc[1],
+                              sc[2], sc[3], out[5])
+
+        # Warm the chunk-shaped programs outside the timed span (the
+        # full-round warmup compiles the round shapes, not these).
+        prep_view(0)
+        np.asarray(dispatch(0, 0))
+
+        queue = deque((i, 0) for i in range(nv))
+        inflight: deque = deque()
+        sums = np.zeros((nv, 4), np.int64)      # conv / inf / real / cand
+        best = [None] * nv                       # best chunk sel per view
+        decided = [False] * nv
+        t_first = [0.0] * nv
+        t_done = [0.0] * nv
+
+        t0 = time.perf_counter()
+
+        def pump():
+            while len(inflight) < 2 and queue:
+                i, ci = queue.popleft()
+                if decided[i]:
+                    continue
+                if prep[i] is None:
+                    prep_view(i)
+                if ci == 0:
+                    t_first[i] = time.perf_counter()
+                inflight.append((i, ci, dispatch(i, ci)))
+
+        pump()
+        while inflight:
+            i, ci, sel_dev = inflight.popleft()
+            pump()  # next dispatch rides the device while we block on d2h
+            sel = np.asarray(sel_dev)  # the chunk's ONLY d2h: 156 bytes
+            sums[i] += sel[:4].astype(np.int64)
+            if best[i] is None or (min(sel[4], sel[5])
+                                   > min(best[i][4], best[i][5])):
+                best[i] = sel
+            n_e = views[i].edge_locations.shape[0]
+            hit = (sel[3] > 0 and sel[4] >= ratio * n_e
+                   and sel[5] >= ratio * n_e)
+            if hit or ci + 1 >= n_chunks or real_h(ci + 1) == 0:
+                decided[i] = True
+                t_done[i] = time.perf_counter()
+            else:
+                # Missed: the view's next chunk goes to the FRONT so its
+                # latency stays close to run_round's; throughput is
+                # unaffected (the device never idles either way).
+                queue.appendleft((i, ci + 1))
+            pump()
+
+        results = []
+        for i in range(nv):
+            view = views[i]
+            n_e = view.edge_locations.shape[0]
+            sel = best[i]
+            # num_paths = the full H*T workload, matching run_round's abort
+            # path (and the reference: skipped blocks count as
+            # unconverged); the conv/inf/real sums cover dispatched
+            # chunks only.
+            stats = evl.SolutionStats(
+                num_converged=int(sums[i][0]), num_infinity=int(sums[i][1]),
+                num_real=int(sums[i][2]), num_paths=H * T,
+            )
+            n_cand = int(sums[i][3])
+            b21 = b31 = 0
+            found = False
+            pose = perr = None
+            actual_steps = np.zeros(0, np.int32)
+            if n_cand and sel is not None and sel[3] > 0:
+                b21, b31 = int(sel[4]), int(sel[5])
+                found = b21 >= ratio * n_e and b31 >= ratio * n_e
+                pose = self._pose_np(sel[9:39])
+                perr = evl.measure_pose_error(
+                    *pose, view.gt_pose21, view.gt_pose31
+                )
+                actual_steps = np.array([int(sel[6])], np.int32)
+            results.append(RoundResult(
+                stats=stats,
+                track_ms=(t_done[i] - t_first[i]) * 1e3,
+                total_ms=(t_done[i] - t_first[i]) * 1e3,
+                num_candidates=n_cand, best_support21=b21,
+                best_support31=b31, num_edgels=n_e,
+                found_pose=found, pose_errors=perr, best_pose=pose,
+                num_steps=np.zeros(0, np.int32),
+                actual_sol_steps=actual_steps,
+            ))
+        total_s = time.perf_counter() - t0
+        return results, nv / total_s
+
     def run_stream(self, view_indices, num_hypotheses: Optional[int] = None,
                    seed: int = 0):
         """Streamed tracking-loss recovery over a sequence of views.
@@ -784,9 +947,16 @@ class TrifocalPoseEngine:
         in stream mode (the step writers are a CLI-round feature).
         Returns (results, views/s).  (The reference processes views
         strictly serially, cmd/magmaHC-main.cpp:24-75.)
+
+        With TrunRANSAC abort enabled (cfg.ransac.abort_by_good_sol), the
+        stream switches to the chunk-granular abort pipeline
+        (_run_stream_abort): hypothesis chunks + device-side early stop +
+        cross-view speculation.
         """
         cfg = self.cfg
         H = num_hypotheses or cfg.ransac.num_iterations
+        if self._segmented and cfg.ransac.abort_by_good_sol:
+            return self._run_stream_abort(view_indices, H, seed)
         T = self.problem.num_tracks
         views = [self.load_view(vi) for vi in view_indices[:1]]
 

@@ -227,9 +227,14 @@ class RansacConfig:
     # the flag before doing work (...TrunRANSAC.cu:152); the TPU analogue
     # is explicit: hypotheses run in chunks and remaining chunks are
     # skipped once a chunk reports a >=90%-support pose.
-    abort_chunk: int = 4    # retuned round 2: 115 ms to pose vs 139 at 8;
-    # the no-find case is within noise (796 vs 790 ms) now that chunks
-    # stage only small target planes (device-side expansion)
+    # retuned round 2: 115 ms to pose vs 139 at 8; the no-find case is
+    # within noise (796 vs 790 ms) now that chunks stage only small target
+    # planes (device-side expansion).  Env override TPUHC_ABORT_CHUNK
+    # (campaign tooling: the stream-abort throughput optimum may differ
+    # from the single-round latency optimum this default was tuned for).
+    abort_chunk: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPUHC_ABORT_CHUNK",
+                                                   "4")))
     feed_random_seed: bool = False       # FEED_RANDOM_SEED: false => seed = round idx
     test_ransac_times: int = 1           # TEST_RANSAC_TIMES
     dataset: str = "Synthetic"           # RANSAC_Dataset (yaml:31)
