@@ -61,7 +61,7 @@ def test_stream_abort_matches_round_abort(cfg, monkeypatch):
         cfg,
         hc=dataclasses.replace(cfg.hc, max_steps=16),
         ransac=dataclasses.replace(cfg.ransac, abort_by_good_sol=True,
-                                   abort_chunk=2),
+                                   abort_chunk=2, stream_abort_chunk=2),
     )
     eng = TrifocalPoseEngine(ecfg)
     assert eng._segmented
@@ -84,7 +84,8 @@ def test_stream_abort_matches_round_abort(cfg, monkeypatch):
         hc=dataclasses.replace(cfg.hc, max_steps=30),
         ransac=dataclasses.replace(
             cfg.ransac, abort_by_good_sol=True, abort_chunk=2,
-            imag_part_tol=1e9, pass_inlier_support_ratio=0.0,
+            stream_abort_chunk=2, imag_part_tol=1e9,
+            pass_inlier_support_ratio=0.0,
         ),
     )
     eng_b = TrifocalPoseEngine(ecfg_b)

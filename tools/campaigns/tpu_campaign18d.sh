@@ -40,3 +40,7 @@ timeout 7200 python -m trifocal_pose_estimation_using_improved_gpuhc_tpu.cli \
   -p trifocal_2op1p_30x30 --stream --views 5 --hypotheses 100 >> $LOG 2>&1
 echo "=== campaign(v18d) done $(date)" >> $LOG
 touch /tmp/campaign18d.done
+# NOTE (post-run): this wave swept the stream chunk via TPUHC_ABORT_CHUNK;
+# the knob was split afterwards -- the stream pipeline now reads
+# RansacConfig.stream_abort_chunk / TPUHC_STREAM_CHUNK (default 8, set
+# from this wave's 5.66/9.32/8.48 views/s at 4/8/16).

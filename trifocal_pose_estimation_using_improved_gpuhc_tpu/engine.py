@@ -776,8 +776,8 @@ class TrifocalPoseEngine:
 
         Serving analogue of run_round's abort path, restructured for
         throughput across a view STREAM: hypotheses dispatch in chunks
-        (cfg.ransac.abort_chunk, like ...TrunRANSAC.cu's serialized block
-        waves) and the scheduler keeps two chunks in flight -- but unlike
+        (cfg.ransac.stream_abort_chunk, like ...TrunRANSAC.cu's serialized
+        block waves) and the scheduler keeps two chunks in flight -- but unlike
         run_round, the speculative slot is filled CROSS-VIEW.  A view's
         later chunks are enqueued only after an earlier chunk's result has
         been read as a miss, so when chunk (v, c) hits, the in-flight
@@ -793,7 +793,7 @@ class TrifocalPoseEngine:
         cfg = self.cfg
         T = self.problem.num_tracks
         Hp = -(-H // self._ndev) * self._ndev
-        chunk_h = min(cfg.ransac.abort_chunk, Hp)
+        chunk_h = min(cfg.ransac.stream_abort_chunk, Hp)
         chunk_h = -(-chunk_h // self._ndev) * self._ndev
         n_chunks = -(-Hp // chunk_h)
         x0r, x0i = self._staged_x0(chunk_h)

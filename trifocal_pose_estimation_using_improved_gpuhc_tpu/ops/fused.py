@@ -2002,14 +2002,21 @@ def build_kernel_caller(
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
                 # Tiles are independent (block-partitioned outputs, no
-                # cross-tile state), so the grid axis is declarable
-                # "parallel"; TPUHC_GRID_PARALLEL=1 A/Bs whether Mosaic
-                # overlaps tile prologue/epilogue work across programs
-                # (VERDICT r2 item 2's multi-program-in-flight lever).
-                # Default stays "arbitrary" pending a measured win.
+                # cross-tile state), so the grid axis is declared
+                # "parallel", letting Mosaic overlap tile prologue/
+                # epilogue work across programs (VERDICT r2 item 2's
+                # multi-program-in-flight lever).  History: no win on the
+                # pre-split3k kernel (campaign 8: step 77.45 vs 75.81
+                # us/iter/tile); ADOPTED in round 5 at the split3k
+                # defaults by campaign 18c's interleaved bench arms
+                # (+GRID over CPH=0: 479.93/478.62 ms vs 479.57/481.03;
+                # defaults anchor 486.9) -- per-tile numerics are
+                # identical either way, only scheduling changes.
+                # TPUHC_GRID_PARALLEL=0 restores the sequential grid.
                 dimension_semantics=(
                     ("parallel",)
-                    if os.environ.get("TPUHC_GRID_PARALLEL") else None
+                    if int(os.environ.get("TPUHC_GRID_PARALLEL", "1"))
+                    else None
                 ),
             ),
             interpret=interpret,

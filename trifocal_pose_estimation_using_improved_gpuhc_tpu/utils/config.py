@@ -111,15 +111,18 @@ class HCConfig:
     # the rejected frozen-Jacobian RK stages (staleness ~ dt*k1, conv
     # 2394 -> 277) or CJR=1 (first-iterate distance, conv -27%).  The
     # handoff condition is tile-granular in the kernel (the oracle
-    # applies it batch-wide; parity tests use one tile).  ADOPTED as
-    # default in round 4: same-session v5e A/B step 82.30 vs 84.39
-    # us/iter/tile (tile=128), reconcile conv gate held within the
-    # session noise band (CPH 10659/31/6569 vs baseline anchor
-    # 10653/31/6568 trun-off; 2547 vs 2542 trun-on), bench 58014 vs
-    # 57707 paths/s.  TPUHC_CPH=0 restores the reference's
-    # fresh-Jacobian stage 1.
+    # applies it batch-wide; parity tests use one tile).  History:
+    # adopted in round 4 on a step A/B (82.30 vs 84.39 us/iter/tile,
+    # reconcile gate held, bench 58014 vs 57707) measured PRE-split3k;
+    # REVERTED in round 5 at the split3k defaults by the interleaved
+    # engine-level bench arms of campaign 18c (defaults 486.65/487.13/
+    # 486.91 ms vs CPH=0 479.57/490.61*/481.03; *pre-outage outlier):
+    # under split3k the per-corrector-iteration factorization saves cost
+    # more than the ~28%-of-steps stage-1 replay win.  OFF is the
+    # reference's exact semantics (fresh Jacobian every stage,
+    # ...TrunPaths.cu:170-211); TPUHC_CPH=1 re-enables the handoff.
     predictor_handoff: bool = dataclasses.field(
-        default_factory=lambda: bool(int(os.environ.get("TPUHC_CPH", "1"))))
+        default_factory=lambda: bool(int(os.environ.get("TPUHC_CPH", "0"))))
     # Evaluator matmul mode on TPU: "split3" computes every constant matmul
     # as three 1-pass bf16 products of an exact f32 = hi+lo1+lo2 split
     # (exact to f32 final rounding, ~2x faster than Precision.HIGHEST,
@@ -235,6 +238,16 @@ class RansacConfig:
     abort_chunk: int = dataclasses.field(
         default_factory=lambda: int(os.environ.get("TPUHC_ABORT_CHUNK",
                                                    "4")))
+    # Hypotheses per chunk in the STREAM abort pipeline
+    # (engine._run_stream_abort).  The stream-throughput optimum differs
+    # from abort_chunk's single-round latency optimum: campaign 18d
+    # (v5e, 12 views x H=100) measured 5.66 views/s at chunk 4, 9.32 at
+    # 8, 8.48 at 16 -- the ~24 ms tunnelled d2h read per chunk dominates
+    # at small chunks, excess tracked work at large ones.  Env override
+    # TPUHC_STREAM_CHUNK.
+    stream_abort_chunk: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPUHC_STREAM_CHUNK",
+                                                   "8")))
     feed_random_seed: bool = False       # FEED_RANDOM_SEED: false => seed = round idx
     test_ransac_times: int = 1           # TEST_RANSAC_TIMES
     dataset: str = "Synthetic"           # RANSAC_Dataset (yaml:31)
