@@ -57,6 +57,19 @@ def test_segment_and_precision_env_overrides(monkeypatch):
     assert HCConfig().segment_steps == 8
 
 
+def test_tile_env_override(monkeypatch):
+    """TPUHC_TILE: bench-level tile A/Bs without code edits.  Tile size is
+    timing-only (whole-tile early exit / tile-wide corrector skip freeze
+    done lanes, never change per-path results), so campaigns A/B it on
+    bench arms alone."""
+    assert HCConfig().tile == 128
+    monkeypatch.setenv("TPUHC_TILE", "64")
+    assert HCConfig().tile == 64
+    assert HCConfig(tile=256).tile == 256
+    monkeypatch.delenv("TPUHC_TILE")
+    assert HCConfig().tile == 128
+
+
 def test_num_of_cores_yaml_key(tmp_path):
     """Num_Of_Cores (gpuhc_settings.yaml:34) is parsed and recorded; the
     CPU oracle's parallelism itself is the XLA CPU runtime's thread pool

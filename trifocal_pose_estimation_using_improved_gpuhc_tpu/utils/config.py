@@ -210,8 +210,15 @@ class HCConfig:
     # 256 down to 128 (microbench), but END-TO-END rounds are ~10% faster
     # at 128 (556 -> 498 ms at H=100 on v5e): whole-tile early exit
     # retires straggler tiles at finer granularity.  512 is ~20% worse
-    # per path; 64 compiles/warms too slowly to be useful.
-    tile: int = 128
+    # per path.  64 is expected to LOSE ~2x per path even though it would
+    # sharpen early exit further: paths ride the lane axis and Mosaic pads
+    # vregs to the 128-lane width, so a 64-path tile computes on
+    # half-empty vregs (campaign 19 pins this with one probe arm).  Tile
+    # size is timing-only (tile-wide corrector skip / early exit never
+    # change per-path results -- done lanes are frozen), so tile A/Bs are
+    # bench-level, no conv gate needed.  Env override TPUHC_TILE.
+    tile: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("TPUHC_TILE", "128")))
 
 
 @dataclasses.dataclass(frozen=True)
