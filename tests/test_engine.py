@@ -77,6 +77,19 @@ def test_stream_abort_matches_round_abort(cfg, monkeypatch):
     assert sr.best_support21 == rr.best_support21
     assert sr.found_pose == rr.found_pose is False
 
+    # Part A-ragged: H=5 with chunk 2 -> chunks of 2/2/1; both modes pad
+    # the tail chunk by duplicating its first hypotheses and must slice
+    # the duplicates away before counting (engine real_h / the round
+    # path's done[:H*T] slice), so the statistics still agree exactly.
+    rr5 = eng.run_round(view, seed=0, num_hypotheses=5)
+    results5, _ = eng.run_stream([0], num_hypotheses=5)
+    sr5 = results5[0]
+    assert sr5.stats.num_paths == rr5.stats.num_paths == 5 * eng.problem.num_tracks
+    assert sr5.stats.num_converged == rr5.stats.num_converged
+    assert sr5.stats.num_infinity == rr5.stats.num_infinity
+    assert sr5.num_candidates == rr5.num_candidates
+    assert sr5.best_support21 == rr5.best_support21
+
     # Part B: 30 steps + relaxed gates -> a candidate converges (probed:
     # 1 candidate at H=4 seed 0) and any candidate is a hit.
     ecfg_b = dataclasses.replace(
