@@ -44,6 +44,18 @@ def hc(cfg):
     return dataclasses.replace(cfg.hc, max_steps=_STEPS, segment_steps=4)
 
 
+def test_tile_guard_sub128_tpu_only(problem, hc):
+    """Sub-128 tiles fail fast with a clear error on the TPU (Mosaic)
+    path: paths ride the 128-wide lane axis and Mosaic requires lane-dim
+    block sizes divisible by 128 (campaign-19 probe: deterministic
+    lowering ValueError at TPUHC_TILE=64).  Interpret mode keeps
+    accepting small tiles -- the whole CPU test tier relies on that."""
+    c = fused.FusedConstants.build(problem)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        fused.build_kernel_caller(c, problem, hc, 64, 2, interpret=False)
+    fused.build_kernel_caller(c, problem, hc, 8, 2, interpret=True)
+
+
 @pytest.fixture(scope="module")
 def oracle_result(problem, hc, workload):
     x0, tgt_b, diff_b, _ = workload

@@ -1917,6 +1917,20 @@ def build_kernel_caller(
     a multiple of ``tile``; coefs = 6 arrays (Q, Bp).  Grid iterates path
     tiles; a tile with no active lane skips its whole segment.
     """
+    if not interpret and tile % 128 != 0:
+        # Mosaic requires lane-dim block sizes divisible by 128 (or equal
+        # to the whole array): paths ride the lane axis, so sub-128 tiles
+        # are structurally unsupported on TPU -- and would waste vector
+        # lanes even if they lowered (a 64-path tile computes on
+        # half-empty vregs).  Measured: campaign 19 probe, deterministic
+        # Mosaic lowering ValueError at TPUHC_TILE=64.  Interpret-mode
+        # tests/dryruns use small tiles freely.
+        raise ValueError(
+            f"HCConfig.tile={tile} is not a multiple of 128: the fused "
+            "TPU kernel tiles paths along the 128-wide lane axis "
+            "(Pallas/Mosaic block-shape requirement). Use 128/256/..., "
+            "or interpret mode for small-tile testing."
+        )
     kernel = _make_kernel(c, cfg, tile, n_iters, interpret=interpret)
     n = problem.num_vars
     width = n + 2

@@ -210,13 +210,15 @@ class HCConfig:
     # 256 down to 128 (microbench), but END-TO-END rounds are ~10% faster
     # at 128 (556 -> 498 ms at H=100 on v5e): whole-tile early exit
     # retires straggler tiles at finer granularity.  512 is ~20% worse
-    # per path.  64 is expected to LOSE ~2x per path even though it would
-    # sharpen early exit further: paths ride the lane axis and Mosaic pads
-    # vregs to the 128-lane width, so a 64-path tile computes on
-    # half-empty vregs (campaign 19 pins this with one probe arm).  Tile
-    # size is timing-only (tile-wide corrector skip / early exit never
-    # change per-path results -- done lanes are frozen), so tile A/Bs are
-    # bench-level, no conv gate needed.  Env override TPUHC_TILE.
+    # per path.  64 is structurally UNSUPPORTED on TPU (campaign 19
+    # probe): paths ride the lane axis and Mosaic requires lane-dim block
+    # sizes divisible by 128, so sub-128 tiles fail lowering -- and would
+    # waste half the vector lanes even if they lowered.  The kernel
+    # caller raises a clear error; interpret-mode tests/dryruns use
+    # small tiles freely.  Tile size is timing-only (tile-wide corrector
+    # skip / early exit never change per-path results -- done lanes are
+    # frozen), so tile A/Bs are bench-level, no conv gate needed.
+    # Env override TPUHC_TILE.
     tile: int = dataclasses.field(
         default_factory=lambda: int(os.environ.get("TPUHC_TILE", "128")))
 
