@@ -848,8 +848,15 @@ class TrifocalPoseEngine:
 
         # Warm the chunk-shaped programs outside the timed span (the
         # full-round warmup compiles the round shapes, not these).
+        # dispatch(0, 0) warms the track/score programs and the
+        # full-chunk select; a ragged tail (H % chunk_h != 0) has its
+        # OWN select shape, which would otherwise compile mid-stream on
+        # the first chunk-exhausted view -- a multi-second stall inside
+        # the timed span (suspected in campaign 19's chunk=12 probe).
         prep_view(0)
         np.asarray(dispatch(0, 0))
+        if real_h(n_chunks - 1) * T not in selects and real_h(n_chunks - 1) > 0:
+            np.asarray(dispatch(0, n_chunks - 1))
 
         queue = deque((i, 0) for i in range(nv))
         inflight: deque = deque()
