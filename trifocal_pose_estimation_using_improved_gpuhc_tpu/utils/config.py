@@ -252,11 +252,16 @@ class RansacConfig:
     # from abort_chunk's single-round latency optimum: campaign 18d
     # (v5e, 12 views x H=100) measured 5.66 views/s at chunk 4, 9.32 at
     # 8, 8.48 at 16 -- the ~24 ms tunnelled d2h read per chunk dominates
-    # at small chunks, excess tracked work at large ones.  Env override
-    # TPUHC_STREAM_CHUNK.
+    # at small chunks, excess tracked work at large ones.  Default moved
+    # 8 -> 10 in round 5 (campaigns 20/20b/20c, final defaults + tail
+    # warmup): on the FULL 100-view dataset -- whose 11 unfound views
+    # sweep every chunk exhaustively -- chunk=10 won both interleaved
+    # reps (6.87/6.97 views/s vs 6.55/6.16 at 8); all-found 12-view
+    # windows read 8 and 10 within noise of each other (7.57 vs 7.42).
+    # Env override TPUHC_STREAM_CHUNK.
     stream_abort_chunk: int = dataclasses.field(
         default_factory=lambda: int(os.environ.get("TPUHC_STREAM_CHUNK",
-                                                   "8")))
+                                                   "10")))
     feed_random_seed: bool = False       # FEED_RANDOM_SEED: false => seed = round idx
     test_ransac_times: int = 1           # TEST_RANSAC_TIMES
     dataset: str = "Synthetic"           # RANSAC_Dataset (yaml:31)
