@@ -239,14 +239,22 @@ class RansacConfig:
     # the flag before doing work (...TrunRANSAC.cu:152); the TPU analogue
     # is explicit: hypotheses run in chunks and remaining chunks are
     # skipped once a chunk reports a >=90%-support pose.
-    # retuned round 2: 115 ms to pose vs 139 at 8; the no-find case is
-    # within noise (796 vs 790 ms) now that chunks stage only small target
-    # planes (device-side expansion).  Env override TPUHC_ABORT_CHUNK
-    # (campaign tooling: the stream-abort throughput optimum may differ
-    # from the single-round latency optimum this default was tuned for).
+    # Round-2 tune picked 4 (115 ms to pose vs 139 at 8); the round-5
+    # retune at the final split3k kernel INVERTED it -- per-path tracking
+    # got ~40% faster while the ~24 ms/chunk d2h read stayed constant,
+    # and larger chunks cut the worst case (fewer sequential launches
+    # when the first passing hypothesis is late).  Campaign 21
+    # (interleaved 100-view sweeps): chunk 8 median 176/177 ms, mean
+    # 323/326, p90 433/460 vs chunk 4's 203/203, 450/445, 1612/1691.
+    # Campaign 21b (8/12/16 interleaved x2): 12 wins both reps on
+    # median AND mean (188.2/192.8, ~302, p90 ~375) vs 8 and 16; the
+    # per-view MIN rises with chunk (115 -> 146 -> 175 ms, more hyps
+    # tracked before the first read) but median/mean/p90 all favor 12.
+    # Env override TPUHC_ABORT_CHUNK (campaign tooling: the stream-abort
+    # throughput optimum differs -- see stream_abort_chunk).
     abort_chunk: int = dataclasses.field(
         default_factory=lambda: int(os.environ.get("TPUHC_ABORT_CHUNK",
-                                                   "4")))
+                                                   "12")))
     # Hypotheses per chunk in the STREAM abort pipeline
     # (engine._run_stream_abort).  The stream-throughput optimum differs
     # from abort_chunk's single-round latency optimum: campaign 18d
